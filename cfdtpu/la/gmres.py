@@ -1,0 +1,155 @@
+"""Matrix-free flexible GMRES under jit.
+
+Replaces the PETSc KSP FGMRES the reference drives at
+/root/reference/src/solvers/stabilized_schur.py:226-229 (fgmres, restart
+200, max_it 1000). TPU-first design choices:
+
+- Right-preconditioned *flexible* GMRES: the preconditioner may change
+  between iterations (needed for inner-iterative Schur preconditioners).
+- Orthogonalization is CGS2 (classical Gram-Schmidt with one
+  reorthogonalization): two (m+1, n) matvecs per iteration instead of a
+  sequential modified-GS chain — the dominant work becomes large matmuls
+  that map straight onto the MXU, and it is as robust as MGS in practice.
+- Fixed-size Krylov buffers + lax.while_loop: static shapes, early exit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _identity_precond(v):
+    return v
+
+
+def fgmres(
+    matvec,
+    b,
+    x0=None,
+    precond=None,
+    restart: int = 30,
+    maxiter: int = 1000,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+):
+    """Solve A x = b with flexible right-preconditioned GMRES.
+
+    Args:
+        matvec: v -> A v (jittable)
+        b: right-hand side (n,)
+        x0: initial guess (defaults to 0)
+        precond: v -> M v (approximation of A^-1 v); may be flexible
+        restart: Krylov dimension m
+        maxiter: total iteration cap
+        rtol/atol: stop when ||b - A x|| <= max(rtol*||b||, atol)
+
+    Returns:
+        (x, info) with info = {iters, resnorm, converged}.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else _identity_precond
+    m = int(restart)
+    n = b.shape[0]
+    dt = b.dtype
+
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny ** 0.5, dt)
+
+    def cycle(x):
+        """One restart cycle; returns (x_new, resnorm, inner_iters)."""
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dt).at[0].set(r / jnp.maximum(beta, tiny))
+        Z = jnp.zeros((m, n), dt)
+        R = jnp.zeros((m + 1, m), dt)  # Hessenberg, rotated in place
+        g = jnp.zeros(m + 1, dt).at[0].set(beta)
+        cs = jnp.zeros(m, dt)
+        sn = jnp.zeros(m, dt)
+
+        def inner_cond(state):
+            j, res, *_ = state
+            return jnp.logical_and(j < m, res > tol)
+
+        def inner_body(state):
+            j, _, V, Z, R, g, cs, sn = state
+            z = M(V[j])
+            w = matvec(z)
+            Z = Z.at[j].set(z)
+
+            # CGS2: project against V[0..j] (mask rows > j)
+            mask = (jnp.arange(m + 1) <= j).astype(dt)
+            h1 = (V @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
+            wnorm = jnp.linalg.norm(w)
+            h = h.at[j + 1].set(wnorm)
+            V = V.at[j + 1].set(w / jnp.maximum(wnorm, tiny))
+
+            # apply previous Givens rotations to the new column
+            def rot(i, hcol):
+                t0 = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
+                t1 = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
+                return hcol.at[i].set(t0).at[i + 1].set(t1)
+
+            h = jax.lax.fori_loop(0, j, rot, h)
+
+            # new rotation annihilating h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c = h[j] / jnp.maximum(denom, tiny)
+            s = h[j + 1] / jnp.maximum(denom, tiny)
+            h = h.at[j].set(denom).at[j + 1].set(0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            g1 = -s * g[j]
+            g = g.at[j + 1].set(g1).at[j].set(c * g[j])
+
+            R = R.at[:, j].set(h[: m + 1])
+            return (j + 1, jnp.abs(g1), V, Z, R, g, cs, sn)
+
+        j, res, V, Z, R, g, cs, sn = jax.lax.while_loop(
+            inner_cond, inner_body, (0, beta, V, Z, R, g, cs, sn)
+        )
+
+        # back-substitution on the leading j x j block (mask unused cols)
+        idx = jnp.arange(m)
+        used = idx < j
+        Rm = R[:m, :m]
+        # make the unused part of the triangle an identity so the solve is
+        # well-posed, and zero the corresponding rhs entries
+        Rm = jnp.where(
+            (used[None, :] & used[:, None]),
+            Rm,
+            jnp.eye(m, dtype=dt),
+        )
+        gm = jnp.where(used, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+        x_new = x + Z.T @ y
+        return x_new, res, j
+
+    def outer_cond(state):
+        x, res, it, _ = state
+        return jnp.logical_and(res > tol, it < maxiter)
+
+    def outer_body(state):
+        x, _, it, _ = state
+        x, res, j = cycle(x)
+        return (x, res, it + j, j)
+
+    r0 = jnp.linalg.norm(b - matvec(x0))
+    x, res, iters, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (x0, r0, jnp.array(0), jnp.array(0))
+    )
+    info = {
+        "iters": iters,
+        "resnorm": res,
+        "converged": res <= tol,
+    }
+    return x, info

@@ -1,0 +1,158 @@
+"""Matrix-free Newton-Krylov with backtracking line search, under jit.
+
+Replaces PETSc SNES "newtonls" (reference setup at
+/root/reference/src/solvers/stabilized_schur.py:202-275: newtonls + FGMRES,
+snes_max_it=100, ksp_max_it=1000, gmres_restart=200). The Jacobian action
+is exact via jax.jvp of the residual — the analogue of the reference's
+symbolic UFL `derivative` (stabilized_schur.py:187), with no assembled
+matrix on the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .gmres import fgmres
+
+
+@dataclass(frozen=True)
+class NewtonParams:
+    max_it: int = 100
+    rtol: float = 1e-8
+    atol: float = 1e-10
+    stol: float = 1e-8
+    ksp_rtol: float = 1e-5
+    ksp_atol: float = 0.0
+    ksp_restart: int = 60
+    ksp_maxiter: int = 1000
+    ls_max_halvings: int = 6
+    ls_alpha: float = 1e-4
+
+
+def newton_solve(
+    F: Callable,
+    x0,
+    params: NewtonParams = NewtonParams(),
+    make_precond: Callable | None = None,
+    project: Callable | None = None,
+    make_operator: Callable | None = None,
+):
+    """Solve F(x) = 0 by Newton-Krylov.
+
+    Args:
+        F: residual function (n,) -> (n,), jittable.
+        x0: initial guess.
+        make_precond: x -> (v -> M v) preconditioner factory, rebuilt at
+            every Newton iteration (like PETSc reassembling the PC matrix
+            per SNES iteration).
+        project: optional nullspace projector applied to the Newton update
+            (e.g. remove the constant-pressure mode, mirroring the PETSc
+            NullSpace at /root/reference/src/solvers/stabilized_schur.py:283-293).
+        make_operator: x -> (matvec, precond | None). When given, supplies
+            the Jacobian action (e.g. assembled element blocks) and
+            overrides make_precond. When absent, the Jacobian action is
+            jax.linearize of F. NOTE: do NOT swap this default to jax.jvp —
+            re-running the jvp primal inside the Krylov while_loop
+            miscompiles on TPU (silently produces a zero-progress solve);
+            linearize replays only the linear part and is also cheaper.
+
+    Returns:
+        (x, stats) with stats = {newton_iters, ksp_iters, fnorm, f0norm,
+        converged, ls_failures}.
+    """
+    p = params
+    f0 = F(x0)
+    f0norm = jnp.linalg.norm(f0)
+    ftol = jnp.maximum(p.atol, p.rtol * f0norm)
+
+    def cond(state):
+        x, f, fnorm, it, ksp_total, done, lsfail = state
+        return jnp.logical_and(jnp.logical_not(done), it < p.max_it)
+
+    def body(state):
+        x, f, fnorm, it, ksp_total, done, lsfail = state
+
+        if make_operator is not None:
+            matvec, M = make_operator(x)
+        else:
+            _, matvec = jax.linearize(F, x)
+            M = make_precond(x) if make_precond is not None else None
+        dx, info = fgmres(
+            matvec,
+            -f,
+            precond=M,
+            restart=p.ksp_restart,
+            maxiter=p.ksp_maxiter,
+            rtol=p.ksp_rtol,
+            atol=p.ksp_atol,
+        )
+        if project is not None:
+            dx = project(dx)
+
+        # backtracking line search on ||F||
+        def ls_cond(ls):
+            lam, fnew, nnew, tries = ls
+            ok = nnew <= (1.0 - p.ls_alpha * lam) * fnorm
+            return jnp.logical_and(
+                jnp.logical_not(ok), tries < p.ls_max_halvings
+            )
+
+        def ls_body(ls):
+            lam, _, _, tries = ls
+            lam = lam * 0.5
+            fnew = F(x + lam * dx)
+            return (lam, fnew, jnp.linalg.norm(fnew), tries + 1)
+
+        f1 = F(x + dx)
+        lam, fnew, nnew, tries = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(1.0, x.dtype), f1,
+                               jnp.linalg.norm(f1), 0)
+        )
+        ls_failed = nnew > (1.0 - p.ls_alpha * lam) * fnorm
+
+        x_new = x + lam * dx
+        step_small = lam * jnp.linalg.norm(dx) <= p.stol * jnp.maximum(
+            jnp.linalg.norm(x_new), 1e-30
+        )
+        # stol-based convergence only counts when the step also decreased
+        # ||F|| — a tiny update out of a stagnated linear solve is
+        # divergence, not convergence.
+        converged = jnp.logical_or(
+            nnew <= ftol, jnp.logical_and(step_small, nnew <= fnorm)
+        )
+        return (
+            x_new,
+            fnew,
+            nnew,
+            it + 1,
+            ksp_total + info["iters"],
+            converged,
+            lsfail + ls_failed.astype(jnp.int32),
+        )
+
+    init = (
+        x0,
+        f0,
+        f0norm,
+        jnp.array(0),
+        jnp.array(0),
+        f0norm <= ftol,
+        jnp.array(0, jnp.int32),
+    )
+    x, f, fnorm, iters, ksp_iters, done, lsfail = jax.lax.while_loop(
+        cond, body, init
+    )
+    stats = {
+        "newton_iters": iters,
+        "ksp_iters": ksp_iters,
+        "fnorm": fnorm,
+        "f0norm": f0norm,
+        "converged": done,
+        "ls_failures": lsfail,
+        "final_residual": f,
+    }
+    return x, stats

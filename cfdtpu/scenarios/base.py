@@ -1,0 +1,278 @@
+"""Scenario base class: solver loading, the time loop, outputs, early stop.
+
+Faithful rebuild of the reference Scenario contract
+(/root/reference/src/scenario.py:20-360): abstract mesh/bcu/bcp properties,
+solver discovery by module name with kwarg filtering (:61-105), the
+time-stepping loop that writes per-step output, logs L2 error against an
+exact solution when provided (:231-256), checks the early-stop criterion
+(||u_sol - u_prev||_inf / ||u_sol||_inf) / dt < tol every 10 steps
+(:268-304), and writes final L2 norms (:315-323).
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import sys
+from abc import ABC, abstractmethod
+from importlib import import_module
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..mesh import Mesh
+from ..spaces import BoundaryCondition
+from ..solvers.base import SolverBase
+
+
+class Scenario(ABC):
+    @property
+    @abstractmethod
+    def mesh(self) -> Mesh:
+        ...
+
+    @property
+    @abstractmethod
+    def bcu(self) -> list[BoundaryCondition]:
+        ...
+
+    @property
+    @abstractmethod
+    def bcp(self) -> list[BoundaryCondition]:
+        ...
+
+    @abstractmethod
+    def initial_velocity(self, x: np.ndarray) -> np.ndarray:
+        ...
+
+    def exact_velocity(self, t):
+        pass
+
+    def __init__(
+        self,
+        solver_name: str,
+        scenario_name: str,
+        rho: float,
+        mu: float,
+        dt: float,
+        T: float,
+        f,
+        early_stop_tolerance: float = 1e-3,
+        output_every: int = 1,
+        **solver_kwargs,
+    ):
+        self.solver_name = solver_name
+        self.scenario_name = scenario_name
+        self.early_stop_tolerance = early_stop_tolerance
+        self.output_every = max(1, int(output_every))
+
+        try:
+            solver_module = import_module(f"cfdtpu.solvers.{solver_name}")
+        except ImportError as e:
+            available = self._list_available_solvers()
+            raise ImportError(
+                f"Could not import solver '{solver_name}'. "
+                f"Ensure cfdtpu/solvers/{solver_name}.py exists and all its "
+                f"dependencies are available.\nUnderlying error: {e}\n"
+                f"Available solvers: {available}"
+            ) from e
+
+        if not hasattr(solver_module, "Solver"):
+            raise ValueError(
+                f"Solver module 'cfdtpu/solvers/{solver_name}.py' does not "
+                f"define a 'Solver' class."
+            )
+
+        self.solverClass: type[SolverBase] = solver_module.Solver
+
+        sig = inspect.signature(self.solverClass.__init__)
+        accepted = sig.parameters
+        has_var_keyword = any(
+            p.kind == inspect.Parameter.VAR_KEYWORD for p in accepted.values()
+        )
+        filtered_kwargs = (
+            solver_kwargs
+            if has_var_keyword
+            else {k: v for k, v in solver_kwargs.items() if k in accepted}
+        )
+        try:
+            self.solver = self.solverClass(
+                self.mesh,
+                dt,
+                rho,
+                mu,
+                f,
+                initial_velocity=self.initial_velocity,
+                **filtered_kwargs,
+            )
+        except TypeError as e:
+            raise RuntimeError(
+                f"Failed to instantiate solver '{solver_name}': {e}. Check "
+                f"that the Solver class has the correct constructor signature."
+            ) from e
+
+        self.T = T
+        self.has_exact_solution = (
+            self.__class__.exact_velocity is not Scenario.exact_velocity
+        )
+        self.dt = dt
+        self._is_setup = False
+
+    @staticmethod
+    def _list_available_solvers():
+        solvers_dir = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "solvers"
+        )
+        try:
+            files = os.listdir(solvers_dir)
+            solvers = [
+                f[:-3]
+                for f in files
+                if f.endswith(".py") and not f.startswith("_")
+                and f != "base.py"
+            ]
+            return solvers if solvers else ["(none found)"]
+        except OSError:
+            return ["(could not list)"]
+
+    # ------------------------------------------------------------------
+    @property
+    def facet_tags(self):
+        return getattr(self, "_ft", None)
+
+    @property
+    def tags(self) -> dict:
+        return {
+            "inlet": getattr(self, "inlet_marker", None),
+            "outlet": getattr(self, "outlet_marker", None),
+            "wall": getattr(self, "wall_marker", None),
+            "obstacle": getattr(self, "obstacle_marker", None),
+        }
+
+    def setup(self):
+        if self._is_setup:
+            return
+        self.solver.setup(
+            self.bcu, self.bcp, facet_tags=self.facet_tags, tags=self.tags
+        )
+        self._is_setup = True
+
+        num_dofs_V = self.solver.V.num_global_dofs
+        num_dofs_Q = self.solver.Q.num_global_dofs
+        total = num_dofs_V + num_dofs_Q
+        print(
+            f"DOFs: {total} (Velocity: {num_dofs_V}, Pressure: {num_dofs_Q})"
+        )
+        print(f"Suggested cores: {total / 20000:.1f}")
+
+    # ------------------------------------------------------------------
+    def solve(
+        self, output_folder: str,
+        afterStepCallback: Callable[[float], None] | None = None,
+    ) -> str:
+        """Run the time loop; returns the output folder path."""
+        from ..io import VTUSeriesWriter
+
+        solver = self.solver
+        mesh = self.mesh
+        T = self.T
+        os.makedirs(output_folder, exist_ok=True)
+
+        solver.initStressForm()
+        writers = {
+            "v": VTUSeriesWriter(f"{output_folder}/v", mesh, "velocity"),
+            "p": VTUSeriesWriter(f"{output_folder}/p", mesh, "pressure"),
+            "u_residual": VTUSeriesWriter(
+                f"{output_folder}/u_residual", mesh, "u_residual"
+            ),
+            "p_residual": VTUSeriesWriter(
+                f"{output_folder}/p_residual", mesh, "p_residual"
+            ),
+            "wss": VTUSeriesWriter(
+                f"{output_folder}/wss", mesh, "shear_stress"
+            ),
+        }
+
+        t = 0.0
+        solver.u_sol = jnp.asarray(
+            solver.V.interpolate(self.initial_velocity)
+        )
+        solver.assemble_wss()
+
+        def write_all(t):
+            writers["v"].write(t, solver.u_sol)
+            writers["p"].write(t, solver.p_sol)
+            writers["u_residual"].write(t, solver.u_residual)
+            writers["p_residual"].write(t, solver.p_residual)
+            writers["wss"].write(t, solver.shear_stress)
+
+        write_all(t)
+
+        error_log = None
+        if self.has_exact_solution:
+            error_log = open(f"{output_folder}/err.txt", "w")
+            error = self.compute_error_at(t)
+            error_log.write("t = %.3f: error = %.3g\n" % (t, error))
+
+        i = 0
+        while t < T:
+            solver.solveStep()
+            i += 1
+            t += self.dt
+
+            if self.has_exact_solution:
+                error = self.compute_error_at(t)
+                error_log.write("t = %.3f: error = %.3g\n" % (t, error))
+
+            if i % self.output_every == 0:
+                solver.assemble_wss()
+                write_all(t)
+
+            if afterStepCallback:
+                afterStepCallback(t)
+
+            if (i + 1) % 10 == 0:
+                u_sol_norm = float(jnp.abs(solver.u_sol).max())
+                u_diff_norm = float(
+                    jnp.abs(solver.u_sol - solver.u_prev).max()
+                )
+                rel_diff = (u_diff_norm / max(u_sol_norm, 1e-12)) / self.dt
+                if rel_diff < self.early_stop_tolerance:
+                    print(
+                        f"Early stopping at t={t:.3f}, because "
+                        f"(||u_sol - u_prev||_inf / ||u_sol||_inf) / dt = "
+                        f"{rel_diff:.20e} < {self.early_stop_tolerance}"
+                    )
+                    break
+
+            solver.u_prev = solver.u_sol
+            solver.p_prev = solver.p_sol
+
+        for w in writers.values():
+            w.close()
+
+        norm_v = float(jnp.sqrt(solver.form.l2_norm_sq(solver.u_sol)))
+        norm_p = float(jnp.sqrt(solver.form.l2_norm_sq(solver.p_sol)))
+        with open(os.path.join(output_folder, "norms.txt"), "w") as f:
+            f.write(f"L2 norm of velocity: {norm_v}\n")
+            f.write(f"L2 norm of pressure: {norm_p}\n")
+
+        if error_log:
+            error_log.close()
+
+        return output_folder
+
+    # ------------------------------------------------------------------
+    def compute_error_at(self, t: float) -> float:
+        """Relative L2 error of u_sol against exact_velocity(t)."""
+        u_e = jnp.asarray(
+            self.solver.V.interpolate(lambda x: self.exact_velocity(t)(x))
+        )
+        return self.compute_error(u_e, self.solver.u_sol)
+
+    def compute_error(self, u, u_aprox) -> float:
+        form = self.solver.form
+        err = float(jnp.sqrt(form.l2_norm_sq(u_aprox - u)))
+        norm = float(jnp.sqrt(form.l2_norm_sq(u)))
+        return err / norm

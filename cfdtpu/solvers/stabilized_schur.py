@@ -1,0 +1,242 @@
+"""SUPG/PSPG/LSIC-stabilized Newton-Krylov solver (Crank-Nicolson midpoint).
+
+TPU-native rebuild of the reference stabilized_schur solver
+(/root/reference/src/solvers/stabilized_schur.py): equal-order P1-P1
+spaces (:55-58), the stabilized weak form (:67-123), Newton with line
+search (:202-214, SNES newtonls) and FGMRES (:226-229). Where the reference
+assembles block matrices for a PETSc fieldsplit-Schur preconditioner
+(:231-267), this solver is matrix-free: the exact Jacobian action comes
+from jax.jvp of the residual, preconditioned (for now) with the assembled
+Jacobian diagonal — Schur-complement preconditioning lands on top of the
+same structure. The constant-pressure nullspace (:283-293) is handled by
+mean-projection of the pressure block.
+
+The whole time step — Newton loop, Krylov iterations, line search, BC
+application — is one jitted function; time-varying BC values and physical
+constants are traced inputs, so nothing recompiles across steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..forms import StabilizedNSForm
+from ..la import NewtonParams, newton_solve
+from ..mesh import Mesh
+from ..spaces.dirichlet import combine_bcs, gather_values
+from .base import SolverBase
+
+
+class Solver(SolverBase):
+    MAX_ITER = 20
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        dt: float,
+        rho: float,
+        mu: float,
+        f,
+        initial_velocity: Callable | None = None,
+        p_grade: int = 1,
+        snes_rtol: float | None = None,
+        snes_atol: float | None = None,
+        snes_stol: float | None = None,
+        snes_max_it: int = 100,
+        ksp_rtol: float | None = None,
+        ksp_restart: int = 60,
+        ksp_max_it: int = 1000,
+        quad_degree: int | None = None,
+        n_shards: int | None = None,
+        **kwargs,
+    ):
+        super().__init__(mesh, dt, rho, mu, f, initial_velocity)
+        from ..utils.dtypes import default_tolerances
+
+        tols = default_tolerances(self.dtype)
+        snes_rtol = tols["snes_rtol"] if snes_rtol is None else snes_rtol
+        snes_atol = tols["snes_atol"] if snes_atol is None else snes_atol
+        snes_stol = tols["snes_stol"] if snes_stol is None else snes_stol
+        ksp_rtol = tols["ksp_rtol"] if ksp_rtol is None else ksp_rtol
+        self.initVelocitySpace(int(p_grade))
+        self.initPressureSpace(int(p_grade))
+
+        if initial_velocity is not None:
+            self.u_prev = jnp.asarray(self.V.interpolate(initial_velocity))
+
+        self.form = self._make_form(quad_degree)
+        if n_shards:
+            from ..dist import ShardedNSForm, make_device_mesh
+
+            self.form = ShardedNSForm(
+                self.form, make_device_mesh(int(n_shards))
+            )
+        self.newton_params = NewtonParams(
+            max_it=int(snes_max_it),
+            rtol=float(snes_rtol),
+            atol=float(snes_atol),
+            stol=float(snes_stol),
+            ksp_rtol=float(ksp_rtol),
+            ksp_restart=int(ksp_restart),
+            ksp_maxiter=int(ksp_max_it),
+        )
+        self.last_stats: dict = {}
+
+    # overridable by variants
+    def _make_form(self, quad_degree):
+        return StabilizedNSForm(self.V, self.Q, quad_degree=quad_degree)
+
+    # ------------------------------------------------------------------
+    def setup(self, bcu, bcp, facet_tags=None, tags=None) -> None:
+        self.bcu_d = [bc.getBC(self.V) for bc in bcu]
+        self.bcp_d = [bc.getBC(self.Q) for bc in bcp]
+        self.bc_dofs_u, self._keep_u = combine_bcs(self.bcu_d, self.mesh.gdim)
+        self.bc_dofs_p, self._keep_p = combine_bcs(self.bcp_d, 1)
+
+        # The constant-pressure mode is a nullspace only when pressure is
+        # nowhere constrained AND every boundary-velocity row is Dirichlet
+        # (otherwise the p n·v boundary term couples the constant mode);
+        # mirrors the nullsp.test(A) gating at stabilized_schur.py:314.
+        all_bdofs = self.V.facet_closure_dofs(
+            np.arange(len(self.mesh.facets))
+        )
+        self.pin_pressure = len(self.bc_dofs_p) == 0 and np.isin(
+            all_bdofs, self.bc_dofs_u
+        ).all()
+
+        self._build_step()
+
+    # ------------------------------------------------------------------
+    def _build_step(self) -> None:
+        form = self.form
+        n_u = self.V.num_dofs
+        n_p = self.Q.num_dofs
+        dim = self.mesh.gdim
+        bc_dofs_u = jnp.asarray(self.bc_dofs_u)
+        bc_dofs_p = jnp.asarray(self.bc_dofs_p)
+        has_bc_u = len(self.bc_dofs_u) > 0
+        has_bc_p = len(self.bc_dofs_p) > 0
+        pin_pressure = self.pin_pressure
+        newton_params = self.newton_params
+
+        def ravel(u, p):
+            return jnp.concatenate([u.reshape(-1), p])
+
+        def unravel(x):
+            return x[: n_u * dim].reshape(n_u, dim), x[n_u * dim:]
+
+        self._ravel, self._unravel = ravel, unravel
+
+        # flat-layout BC mask: True at constrained rows
+        bc_mask_np = np.zeros(n_u * dim + n_p, dtype=bool)
+        for d0 in range(dim):
+            bc_mask_np[self.bc_dofs_u.astype(np.int64) * dim + d0] = True
+        bc_mask_np[n_u * dim + self.bc_dofs_p.astype(np.int64)] = True
+        bc_mask = jnp.asarray(bc_mask_np)
+
+        def step(u_prev, p_prev, bc_u_vals, bc_p_vals, prm):
+            def F(x):
+                u, p = unravel(x)
+                ru, rp = form.residual(u, p, u_prev, prm)
+                if has_bc_u:
+                    ru = ru.at[bc_dofs_u].set(u[bc_dofs_u] - bc_u_vals)
+                if has_bc_p:
+                    rp = rp.at[bc_dofs_p].set(p[bc_dofs_p] - bc_p_vals)
+                if pin_pressure:
+                    rp = rp - jnp.mean(rp)
+                return ravel(ru, rp)
+
+            def make_operator(x):
+                u, p = unravel(x)
+                A_cells, A_facets = form.element_jacobians(
+                    u, p, u_prev, prm
+                )
+
+                def matvec(v):
+                    y = form.apply_element_matrices(A_cells, A_facets, v)
+                    y = jnp.where(bc_mask, v, y)
+                    if pin_pressure:
+                        du, dp = unravel(y)
+                        y = ravel(du, dp - jnp.mean(dp))
+                    return y
+
+                d = form.jacobian_diagonal(A_cells, A_facets)
+                d = jnp.where(bc_mask, 1.0, d)
+                scale = jnp.max(jnp.abs(d))
+                floor = 1e-12 * scale
+                d = jnp.where(
+                    jnp.abs(d) < floor, jnp.where(d < 0, -floor, floor), d
+                )
+                return matvec, (lambda v: v / d)
+
+            def project(dx):
+                if not pin_pressure:
+                    return dx
+                du, dp = unravel(dx)
+                return ravel(du, dp - jnp.mean(dp))
+
+            x0 = ravel(u_prev, p_prev)
+            if pin_pressure:
+                x0 = project(x0)
+            x, stats = newton_solve(
+                F, x0, newton_params,
+                make_operator=make_operator,
+                project=project if pin_pressure else None,
+            )
+            u, p = unravel(x)
+            r_u, r_p = unravel(stats.pop("final_residual"))
+            return u, p, r_u, r_p, stats
+
+        self._step_fn = step  # unjitted, for driver compile checks
+        self._step = jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def _bc_values(self):
+        for bc in self.bcu_d:
+            bc.update()
+        for bc in self.bcp_d:
+            bc.update()
+        dt = self.dtype
+        if self.bcu_d:
+            bc_u_vals = jnp.asarray(
+                gather_values(self.bcu_d, self._keep_u), dtype=dt
+            )
+        else:
+            bc_u_vals = jnp.zeros((0, self.mesh.gdim), dt)
+        if self.bcp_d:
+            bc_p_vals = jnp.asarray(
+                gather_values(self.bcp_d, self._keep_p), dtype=dt
+            )
+        else:
+            bc_p_vals = jnp.zeros((0,), dt)
+        return bc_u_vals, bc_p_vals
+
+    def solveStep(self) -> None:
+        bc_u_vals, bc_p_vals = self._bc_values()
+        u, p, r_u, r_p, stats = self._step(
+            self.u_prev, self.p_prev, bc_u_vals, bc_p_vals,
+            self.base_params(),
+        )
+        converged = bool(stats["converged"])
+        self.last_stats = {
+            k: (v.item() if hasattr(v, "item") else v)
+            for k, v in stats.items()
+        }
+        if not converged:
+            raise RuntimeError(
+                f"Did not converge, reason: newton_iters="
+                f"{self.last_stats['newton_iters']}, "
+                f"fnorm={self.last_stats['fnorm']:.3e} "
+                f"(f0norm={self.last_stats['f0norm']:.3e})."
+            )
+        self.u_sol, self.p_sol = u, p
+        self.u_residual, self.p_residual = r_u, r_p
+        print(
+            f"Solver converged in {self.last_stats['newton_iters']} nonlinear"
+            f" iterations (with total number of"
+            f" {self.last_stats['ksp_iters']} linear iterations)"
+        )

@@ -1,0 +1,168 @@
+"""Function spaces: dofmaps, dof coordinates, boundary dof location.
+
+Replaces dolfinx functionspace + dofmap (reference:
+/root/reference/src/solverBase.py:104-142). Scalar Lagrange dofmaps are
+entity-numbered (vertices, then edge blocks, then face blocks, then cell
+interiors). Vector-valued spaces share the scalar dofmap; a vector Function
+is an array of shape (num_dofs, num_components), which keeps JAX kernels
+free of interleaving arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..elements import LagrangeElement
+from ..elements.cells import cell_edges, cell_facets
+from ..mesh import Mesh
+
+
+class FunctionSpace:
+    """Lagrange function space of a given degree on a mesh.
+
+    Attributes:
+        mesh: the Mesh
+        element: scalar LagrangeElement
+        num_components: 1 for scalar spaces, d for vector spaces
+        dofmap: (num_cells, ndofs_per_cell) int32 scalar dof indices
+        num_dofs: number of scalar dofs
+        dof_coords: (num_dofs, gdim) coordinates of the nodal points
+    """
+
+    def __init__(self, mesh: Mesh, degree: int, num_components: int = 1):
+        self.mesh = mesh
+        self.element = LagrangeElement.create(mesh.cell_type, degree)
+        self.num_components = int(num_components)
+        self._build_dofmap()
+        self._build_dof_coords()
+
+    @property
+    def degree(self) -> int:
+        return self.element.degree
+
+    @property
+    def num_global_dofs(self) -> int:
+        """Total dofs counting components (reference counts this way in
+        /root/reference/src/scenario.py:151-160)."""
+        return self.num_dofs * self.num_components
+
+    def _build_dofmap(self) -> None:
+        mesh, el = self.mesh, self.element
+        k = el.degree
+        cells = mesh.cells
+        nc = cells.shape[0]
+        nb = el.ndofs
+        dofmap = np.empty((nc, nb), dtype=np.int64)
+
+        # vertex dofs
+        nv = len(el.entity_dofs[0])
+        for v in range(nv):
+            dofmap[:, el.entity_dofs[0][v][0]] = cells[:, v]
+        offset = mesh.num_points
+
+        # edge dofs
+        if k >= 2 and mesh.dim >= 2:
+            edges_local = cell_edges(mesh.cell_type)
+            # global edge numbering from unique sorted vertex pairs
+            cell_edge_verts = np.stack(
+                [cells[:, [a, b]] for (a, b) in edges_local], axis=1
+            )  # (nc, n_edges_local, 2)
+            keys = np.sort(cell_edge_verts.reshape(-1, 2), axis=1)
+            uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+            edge_ids = inv.reshape(nc, len(edges_local))
+            n_edge_dofs = k - 1
+            for ei, (a, b) in enumerate(edges_local):
+                local = el.entity_dofs[1][ei]
+                base = offset + edge_ids[:, ei] * n_edge_dofs
+                # orientation: local edge runs a->b; the global edge is
+                # canonically ordered by ascending vertex id. Flip the
+                # within-edge dof order when the local direction descends.
+                flip = cells[:, a] > cells[:, b]
+                for j, ld in enumerate(local):
+                    jj = np.where(flip, n_edge_dofs - 1 - j, j)
+                    dofmap[:, ld] = base + jj
+            offset += len(uniq) * n_edge_dofs
+            self.num_edges = len(uniq)
+        else:
+            self.num_edges = 0
+
+        # face dofs (3D) — only k <= 2 supported for now (no face interiors)
+        if mesh.dim == 3 and k >= 3:
+            raise NotImplementedError(
+                "degree >= 3 on 3D cells (face-interior dofs) not yet supported"
+            )
+
+        # cell-interior dofs
+        interior = el.entity_dofs[mesh.dim][0] if mesh.dim >= 2 else []
+        n_int = len(interior)
+        if n_int:
+            base = offset + np.arange(nc, dtype=np.int64) * n_int
+            for j, ld in enumerate(interior):
+                dofmap[:, ld] = base + j
+            offset += nc * n_int
+
+        self.num_dofs = int(offset)
+        self.dofmap = dofmap.astype(np.int32)
+
+    def _build_dof_coords(self) -> None:
+        mesh, el = self.mesh, self.element
+        geom = LagrangeElement.create(mesh.cell_type, 1)
+        (N,) = geom.tabulate(el.nodes, nderiv=0)  # (nb, n_verts)
+        cell_pts = mesh.points[mesh.cells]  # (nc, nv, gdim)
+        coords = np.einsum("bv,cvg->cbg", N, cell_pts)  # (nc, nb, gdim)
+        out = np.zeros((self.num_dofs, mesh.gdim), dtype=mesh.points.dtype)
+        out[self.dofmap.reshape(-1)] = coords.reshape(-1, mesh.gdim)
+        self.dof_coords = out
+
+    # ------------------------------------------------------------------
+    def facet_closure_dofs(self, facet_indices: np.ndarray) -> np.ndarray:
+        """Unique scalar dofs on the closure of the given boundary facets.
+
+        Equivalent of dolfinx locate_dofs_topological (reference:
+        /root/reference/src/boundaryCondition.py:36)."""
+        mesh = self.mesh
+        facet_indices = np.asarray(facet_indices, dtype=np.int64)
+        if facet_indices.size == 0:
+            return np.empty(0, dtype=np.int32)
+        cells_of = mesh.facet_cells[facet_indices]
+        lf_of = mesh.facet_local_index[facet_indices]
+        # per-local-facet local dof lists (within one element all facets
+        # have equal dof counts, so this stacks into a rectangular table)
+        lf_tables = np.array(
+            [self.element.facet_dofs(i)
+             for i in range(len(cell_facets(mesh.cell_type)))],
+            dtype=np.int64,
+        )
+        dofs = self.dofmap[cells_of[:, None], lf_tables[lf_of]]
+        return np.unique(dofs).astype(np.int32)
+
+    def locate_dofs_geometrical(self, marker) -> np.ndarray:
+        """Dofs whose nodal coordinate satisfies marker(x) with x (gdim, n).
+
+        Equivalent of dolfinx locate_dofs_geometrical (reference:
+        /root/reference/src/boundaryCondition.py:39)."""
+        on = np.asarray(marker(self.dof_coords.T))
+        return np.where(on)[0].astype(np.int32)
+
+    # ------------------------------------------------------------------
+    def interpolate(self, f, t: float | None = None) -> np.ndarray:
+        """Evaluate a callable at the dof coordinates.
+
+        `f` takes x of shape (gdim, n) and returns (num_components, n) (or
+        (n,) for scalar spaces) — the dolfinx interpolation convention the
+        reference scenarios use (/root/reference/src/scenarios/lid_driven2D.py:46).
+        Passing t forwards it as second argument for time-dependent values.
+        """
+        x = self.dof_coords.T
+        vals = np.asarray(f(x) if t is None else f(x, t))
+        if self.num_components == 1:
+            return vals.reshape(self.num_dofs).astype(self.mesh.points.dtype)
+        return np.ascontiguousarray(vals.T).astype(self.mesh.points.dtype)
+
+    def zero_function(self) -> np.ndarray:
+        shape = (
+            (self.num_dofs,)
+            if self.num_components == 1
+            else (self.num_dofs, self.num_components)
+        )
+        return np.zeros(shape, dtype=self.mesh.points.dtype)

@@ -1,0 +1,62 @@
+"""Small-matrix geometry helpers.
+
+Explicit cofactor formulas for the 1x1/2x2/3x3 element Jacobians instead of
+jnp.linalg.inv/det: LU decomposition is unsupported for f64 on TPU and is
+overkill for these tiny batched matrices — cofactors are pure VPU
+elementwise math that XLA fuses into the surrounding kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def det_and_inv(J):
+    """Determinant and inverse of batched small square matrices.
+
+    J has shape (..., d, d) with d in {1, 2, 3}. Returns (det (...,),
+    inv (..., d, d)).
+    """
+    d = J.shape[-1]
+    if d == 1:
+        det = J[..., 0, 0]
+        inv = (1.0 / det)[..., None, None]
+        return det, inv
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, e = J[..., 1, 0], J[..., 1, 1]
+        det = a * e - b * c
+        idet = 1.0 / det
+        inv = jnp.stack(
+            [
+                jnp.stack([e * idet, -b * idet], axis=-1),
+                jnp.stack([-c * idet, a * idet], axis=-1),
+            ],
+            axis=-2,
+        )
+        return det, inv
+    if d == 3:
+        a = J
+        c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+        c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+        c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+        c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+        c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+        c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+        c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+        c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+        c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        det = (
+            a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+        )
+        idet = 1.0 / det
+        inv = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20], axis=-1),
+                jnp.stack([c01, c11, c21], axis=-1),
+                jnp.stack([c02, c12, c22], axis=-1),
+            ],
+            axis=-2,
+        ) * idet[..., None, None]
+        return det, inv
+    raise ValueError(f"det_and_inv supports d <= 3, got {d}")

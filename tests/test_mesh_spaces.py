@@ -1,0 +1,126 @@
+"""Mesh topology + function-space dofmap tests."""
+
+import numpy as np
+import pytest
+
+from cfdtpu.assembly import FacetQuadrature
+from cfdtpu.mesh import (
+    create_box,
+    create_rectangle,
+    create_unit_cube,
+    create_unit_square,
+)
+from cfdtpu.spaces import FunctionSpace
+
+
+def test_unit_square_counts():
+    m = create_unit_square(4, 4)
+    assert m.num_points == 25
+    assert m.num_cells == 32
+    assert len(m.facets) == 16
+
+
+def test_unit_cube_counts():
+    m = create_unit_cube(3)
+    assert m.num_points == 4 ** 3
+    assert m.num_cells == 6 * 27
+    assert len(m.facets) == 2 * 9 * 6
+
+
+def test_outward_normals_2d():
+    m = create_unit_square(5, 3)
+    pts = m.points[m.facets]
+    t = pts[:, 1] - pts[:, 0]
+    n = np.stack([t[:, 1], -t[:, 0]], -1)
+    cc = m.points[m.cells[m.facet_cells]].mean(1)
+    fc = pts.mean(1)
+    assert ((n * (fc - cc)).sum(1) > 0).all()
+
+
+def test_outward_normals_3d():
+    m = create_unit_cube(2)
+    pts = m.points[m.facets]
+    n = np.cross(pts[:, 1] - pts[:, 0], pts[:, 2] - pts[:, 0])
+    cc = m.points[m.cells[m.facet_cells]].mean(1)
+    fc = pts.mean(1)
+    assert ((n * (fc - cc)).sum(1) > 0).all()
+
+
+def test_facet_tags():
+    m = create_unit_square(4, 4)
+    m.mark_boundary_facets(lambda x: np.isclose(x[0], 0.0), 2)
+    m.mark_boundary_facets(lambda x: np.isclose(x[0], 1.0), 3)
+    assert len(m.tagged_facets(2)) == 4
+    assert len(m.tagged_facets(3)) == 4
+    assert len(m.tagged_facets([2, 3])) == 8
+
+
+@pytest.mark.parametrize("deg,expected", [(1, 25), (2, 25 + 56), (3, 25 + 2 * 56 + 32)])
+def test_p123_dof_counts(deg, expected):
+    # 4x4 triangulated unit square: 25 vertices, 56 edges, 32 cells
+    m = create_unit_square(4, 4)
+    V = FunctionSpace(m, deg)
+    assert V.num_dofs == expected
+
+
+def test_dof_coords_shared_edges():
+    """P2 edge dofs must agree across neighbouring cells: every scalar dof
+    has exactly one coordinate."""
+    m = create_unit_square(3, 3)
+    V = FunctionSpace(m, 2)
+    # rebuild coords cell-by-cell and check consistency
+    from cfdtpu.elements import LagrangeElement
+
+    geom = LagrangeElement.create(m.cell_type, 1)
+    (N,) = geom.tabulate(V.element.nodes, nderiv=0)
+    coords = np.einsum("bv,cvg->cbg", N, m.points[m.cells])
+    seen = {}
+    for c in range(m.num_cells):
+        for b in range(V.element.ndofs):
+            d = V.dofmap[c, b]
+            xy = tuple(np.round(coords[c, b], 12))
+            assert seen.setdefault(d, xy) == xy
+
+
+def test_facet_closure_dofs():
+    m = create_unit_square(4, 4)
+    V = FunctionSpace(m, 2)
+    left = m.locate_boundary_facets(lambda x: np.isclose(x[0], 0.0))
+    dofs = V.facet_closure_dofs(left)
+    # 5 vertices + 4 edge midpoints on the left edge
+    assert len(dofs) == 9
+    assert np.allclose(V.dof_coords[dofs][:, 0], 0.0)
+
+
+def test_interpolate_vector():
+    m = create_unit_square(4, 4)
+    V = FunctionSpace(m, 1, 2)
+    g = V.interpolate(lambda x: np.vstack([x[0] + x[1], 2 * x[1]]))
+    assert np.allclose(g[:, 0], V.dof_coords.sum(1))
+    assert np.allclose(g[:, 1], 2 * V.dof_coords[:, 1])
+
+
+def test_facet_quadrature_measures():
+    m = create_unit_square(6, 6)
+    fq = FacetQuadrature(m, np.arange(len(m.facets)), 3)
+    assert np.isclose(fq.facet_measure().sum(), 4.0)
+    m3 = create_unit_cube(3)
+    fq3 = FacetQuadrature(m3, np.arange(len(m3.facets)), 3)
+    assert np.isclose(fq3.facet_measure().sum(), 6.0)
+    x, n, dS = fq3.geometry()
+    # normals are unit
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0)
+
+
+def test_quad_mesh():
+    m = create_rectangle((0, 0), (2, 1), (8, 4), cell_type="quadrilateral")
+    assert m.num_cells == 32
+    fq = FacetQuadrature(m, np.arange(len(m.facets)), 3)
+    assert np.isclose(fq.facet_measure().sum(), 6.0)
+
+
+def test_hex_mesh():
+    m = create_box((0, 0, 0), (1, 1, 2), (2, 2, 4), cell_type="hexahedron")
+    assert m.num_cells == 16
+    fq = FacetQuadrature(m, np.arange(len(m.facets)), 3)
+    assert np.isclose(fq.facet_measure().sum(), 2 * 1 + 4 * 2)

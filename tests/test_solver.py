@@ -1,0 +1,98 @@
+"""Solver integration tests: lid-driven cavity smoke + convergence checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+from cfdtpu.simulation import Simulation
+
+
+@pytest.fixture(scope="module")
+def lid_scenario():
+    return LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.05, mu=0.01, nx=12
+    )
+
+
+def test_lid_driven_steps(lid_scenario, tmp_path_factory):
+    out = tmp_path_factory.mktemp("lid")
+    lid_scenario.solve(str(out))
+    u = lid_scenario.solver.u_sol
+    assert float(jnp.abs(u).max()) <= 1.0 + 1e-8  # max principle-ish
+    assert float(jnp.abs(u).max()) > 0.5  # lid moves the fluid
+    stats = lid_scenario.solver.last_stats
+    assert stats["converged"]
+    assert stats["newton_iters"] <= 10
+    # outputs exist
+    assert (out / "norms.txt").exists()
+    assert (out / "v.pvd").exists()
+    assert (out / "wss.pvd").exists()
+
+
+def test_lid_bc_enforced(lid_scenario):
+    sc = lid_scenario
+    V = sc.solver.V
+    u = np.asarray(sc.solver.u_sol)
+    lid_dofs = V.locate_dofs_geometrical(sc.lid)
+    wall_dofs = V.locate_dofs_geometrical(sc.walls)
+    assert np.allclose(u[lid_dofs, 0], 1.0, atol=1e-10)
+    assert np.allclose(u[lid_dofs, 1], 0.0, atol=1e-10)
+    assert np.allclose(u[wall_dofs], 0.0, atol=1e-10)
+
+
+def test_divergence_small(lid_scenario):
+    """The stabilized solution should be nearly divergence-free away from
+    the lid-corner singularities (where the discontinuous BC makes the
+    local divergence O(1) on any mesh)."""
+    sc = lid_scenario
+    form = sc.solver.form
+    u = sc.solver.u_sol
+    from cfdtpu.utils import det_and_inv
+
+    u_e = u[form.dofmap_u]
+    J = jnp.einsum("cvg,qvd->cqgd", form.cell_coords, form.gdphi)
+    detJ, invJ = det_and_inv(J)
+    gu = jnp.einsum("qbd,cqdg->cqbg", form.dphi_u, invJ)
+    div = jnp.einsum("cbi,cqbi->cq", u_e, gu)
+    # restrict to cells whose centroid is below y = 0.75
+    centroid_y = np.asarray(form.cell_coords).mean(axis=1)[:, 1]
+    mask = jnp.asarray((centroid_y < 0.75).astype(float))
+    div_l2 = float(
+        jnp.sqrt(
+            jnp.sum(div ** 2 * jnp.abs(detJ) * form.qw[None] * mask[:, None])
+        )
+    )
+    assert div_l2 < 0.15  # O(h) for P1-P1 PSPG at nx=12
+
+
+def test_simulation_orchestrator(tmp_path):
+    sim = Simulation(
+        name="t",
+        simulation="lid_driven2D",
+        solver="stabilized_schur",
+        T=0.02,
+        dt=0.01,
+        output_dir=str(tmp_path),
+        mu=0.1,
+        nx=8,
+    )
+    out = sim.run()
+    import os
+
+    assert os.path.exists(os.path.join(out, "simulation_params.txt"))
+    params = open(os.path.join(out, "simulation_params.txt")).read()
+    assert "lid_driven2D" in params
+    assert "stabilized_schur" in params
+
+
+def test_simulation_validation():
+    with pytest.raises(ValueError):
+        Simulation(name="", simulation="lid_driven2D",
+                   solver="stabilized_schur", T=1, dt=0.1)
+    with pytest.raises(ValueError):
+        Simulation(name="x", simulation="lid_driven2D",
+                   solver="stabilized_schur", T=-1, dt=0.1)
+    with pytest.raises(ValueError):
+        Simulation(name="x", simulation="lid_driven2D",
+                   solver="stabilized_schur", T=0.01, dt=0.1)
