@@ -86,10 +86,11 @@ class ShardedNSForm:
         n_u, n_p, dim = self.V.num_dofs, self.Q.num_dofs, self.dim
         dtype = self.dtype
 
-        def local(u, p, u_prev, dm_u, dm_p, cc, hh, mask, prm):
+        def local(u, p, aux, dm_u, dm_p, cc, hh, mask, prm):
+            aux_e = tuple(a[dm_u] for a in aux)
             ru_e, rp_e = jax.vmap(
                 kernel, in_axes=(0, 0, 0, 0, 0, None)
-            )(u[dm_u], p[dm_p], u_prev[dm_u], cc, hh, prm)
+            )(u[dm_u], p[dm_p], aux_e, cc, hh, prm)
             ru_e = ru_e * mask[:, None, None]
             rp_e = rp_e * mask[:, None]
             ru = jnp.zeros((n_u, dim), dtype).at[dm_u].add(ru_e)
@@ -109,31 +110,34 @@ class ShardedNSForm:
             out_specs=(P(), P()),
         )
 
-        def residual(u, p, u_prev, prm):
+        def residual(u, p, aux, prm):
             ru, rp = sharded(
-                u, p, u_prev,
+                u, p, aux,
                 self.dofmap_u, self.dofmap_p,
                 self.cell_coords, self.cell_h, self.cell_mask, prm,
             )
-            if form._boundary is not None:
-                bu = form._boundary_residual(u, p, u_prev, prm)
-                ru = ru + bu
+            for block in form._facet_blocks:
+                dm_u, ru_f = form._block_residual(block, u, p, aux, prm)
+                ru = ru.at[dm_u].add(ru_f)
             return ru, rp
 
         return residual
 
-    def residual(self, u, p, u_prev, prm):
-        return self._residual_sharded(u, p, u_prev, prm)
+    def residual(self, u, p, aux, prm):
+        return self._residual_sharded(u, p, aux, prm)
 
     # Jacobian-side API: delegated to the serial form for now (evaluated
     # identically on every device). The element-Jacobian build happens once
     # per Newton iteration; sharding it (and the matvec gather/scatter)
     # over the cell axis is the next distribution stage.
-    def element_jacobians(self, u, p, u_prev, prm):
-        return self.inner.element_jacobians(u, p, u_prev, prm)
+    def element_jacobians(self, u, p, aux, prm):
+        return self.inner.element_jacobians(u, p, aux, prm)
 
-    def apply_element_matrices(self, A_cells, A_facets, v_flat):
-        return self.inner.apply_element_matrices(A_cells, A_facets, v_flat)
+    def apply_element_matrices(self, A_cells, A_blocks, v_flat):
+        return self.inner.apply_element_matrices(A_cells, A_blocks, v_flat)
 
-    def jacobian_diagonal(self, A_cells, A_facets):
-        return self.inner.jacobian_diagonal(A_cells, A_facets)
+    def jacobian_diagonal(self, A_cells, A_blocks):
+        return self.inner.jacobian_diagonal(A_cells, A_blocks)
+
+    def facet_flux(self, u, name):
+        return self.inner.facet_flux(u, name)

@@ -1,14 +1,24 @@
 """SUPG/PSPG/LSIC-stabilized incompressible Navier-Stokes residual.
 
-This is the TPU-native equivalent of the reference's UFL weak form in
-/root/reference/src/solvers/stabilized_schur.py:67-123: equal-order Pk-Pk
-velocity/pressure, Crank-Nicolson midpoint convection/stress, SUPG + PSPG +
-LSIC stabilization with the tau definitions of :100-119, and the natural
-boundary correction `p n·v - mu (nabla_grad u_mid)^T n·v` over exterior
-facets (:79). Instead of ffcx-generated C kernels + PETSc assembly, the
-residual is a vmapped per-element JAX kernel scattered with jnp scatter-add;
-the Jacobian never exists as a matrix — Newton consumes jax.jvp of this
-function (exact linearization, the analogue of UFL `derivative` at :187).
+TPU-native equivalent of the reference's UFL weak forms
+(/root/reference/src/solvers/stabilized_schur.py:67-123 for the
+Crank-Nicolson base form; stabilized_schur_bdf2.py:75-110 for BDF2):
+equal-order Pk-Pk velocity/pressure, SUPG + PSPG + LSIC stabilization with
+the tau definitions of stabilized_schur.py:100-119. Instead of
+ffcx-generated C kernels + PETSc assembly, the residual is a vmapped
+per-element JAX kernel scattered with jnp scatter-add; the exact element
+Jacobian blocks come from jacfwd of the element kernel (the analogue of
+UFL `derivative` at :187) and the global operator is applied as gather ->
+batched (nloc x nloc) matmul -> scatter, keeping the Krylov hot loop on
+dense batched matmuls.
+
+Boundary physics (weak pressure, Nitsche, backflow, resistance tractions —
+the reference's `ds` terms, see forms/facet_terms.py) attach as facet-term
+blocks over tagged facet subsets.
+
+State layout: `aux` is a tuple of velocity history fields — (u_prev,) for
+Crank-Nicolson, (u_prev, u_prev2) for BDF2 — so one residual/Jacobian
+pipeline serves every time scheme.
 
 Conventions: velocity u is (n_u, d); grad_u[i, j] = du_i/dx_j.
 UFL's nabla_grad(u)[i, j] = du_j/dx_i is the transpose; the boundary term
@@ -25,6 +35,7 @@ from ..assembly import FacetQuadrature
 from ..elements import LagrangeElement, quadrature
 from ..spaces import FunctionSpace
 from ..utils import det_and_inv
+from .facet_terms import natural_correction
 
 
 def _eps_for(dtype) -> float:
@@ -34,20 +45,25 @@ def _eps_for(dtype) -> float:
 
 
 class StabilizedNSForm:
-    """Residual of the stabilized NS equations with CN-midpoint stepping.
+    """Residual of the stabilized NS equations (CN-midpoint stepping).
 
     params dict keys (all jnp scalars/arrays, so changing them never
     recompiles — the analogue of PETSc Constants):
-        dt, rho, mu: scalars
-        f: body force (d,)
+        dt, rho, mu: scalars; f: body force (d,)
+        plus whatever keys the attached facet terms consume
+        (p_inlet, p_c, beta_nitsche, beta_backflow, ...).
+
+    aux: tuple of velocity history arrays; (u_prev,) here.
     """
+
+    N_AUX = 1
 
     def __init__(
         self,
         V: FunctionSpace,
         Q: FunctionSpace,
         quad_degree: int | None = None,
-        include_boundary_terms: bool = True,
+        boundary_correction: bool = True,
     ):
         assert V.mesh is Q.mesh
         mesh = V.mesh
@@ -59,6 +75,7 @@ class StabilizedNSForm:
         self.eps = _eps_for(dt)
 
         qd = quad_degree if quad_degree is not None else 2 * V.degree + 1
+        self.quad_degree = qd
         xi, w = quadrature(mesh.cell_type, qd)
 
         nderiv = 2 if V.degree > 1 else 1
@@ -81,31 +98,40 @@ class StabilizedNSForm:
         self.cell_coords = j(mesh.points[mesh.cells], dtype=dt)
         self.cell_h = j(mesh.h(), dtype=dt)
 
-        # flat per-element dof layout [u(b=0,i=0..d), u(b=1,..), ..., p(b)]
-        # matching the solver's ravel convention (u.reshape(-1) ++ p)
+        # flat per-element dof layout [u(b,i) row-major, then p(b)] matching
+        # the solver's ravel convention (u.reshape(-1) ++ p)
         nbu, nbp = V.element.ndofs, Q.element.ndofs
         dim = self.dim
         dmf = (
             np.asarray(V.dofmap)[:, :, None] * dim
             + np.arange(dim)[None, None, :]
         ).reshape(-1, nbu * dim)
-        dmf = np.concatenate(
+        self._dmf_np = np.concatenate(
             [dmf, V.num_dofs * dim + np.asarray(Q.dofmap)], axis=1
-        )
-        self.dofmap_flat = j(dmf.astype(np.int32))
+        ).astype(np.int32)
+        self.dofmap_flat = j(self._dmf_np)
         self.nloc = nbu * dim + nbp
         self.n_flat = V.num_dofs * dim + Q.num_dofs
 
         self._kernel = self._make_cell_kernel()
 
-        self._boundary = None
-        if include_boundary_terms and len(mesh.facets):
-            self._boundary = self._make_boundary_data(qd)
-            self.facet_dofmap_flat = j(
-                np.asarray(dmf)[np.asarray(self._boundary["cells"])]
+        self._facet_blocks: list[dict] = []
+        if boundary_correction and len(mesh.facets):
+            self.add_facet_term(
+                "natural_correction",
+                np.arange(len(mesh.facets), dtype=np.int32),
+                natural_correction(),
             )
 
     # ------------------------------------------------------------------
+    # time-scheme hooks (overridden by the BDF2 variant)
+    # ------------------------------------------------------------------
+    def _velocity_states(self, u_e, aux_e, prm):
+        """Returns (u_adv, u_visc_weight fields) for the scheme; CN uses
+        the midpoint everywhere."""
+        um = 0.5 * (u_e + aux_e[0])
+        return um
+
     def _make_cell_kernel(self):
         dim = self.dim
         phi_u, dphi_u = self.phi_u, self.dphi_u
@@ -115,7 +141,8 @@ class StabilizedNSForm:
         eps_default = self.eps
         eye = jnp.eye(dim, dtype=self.dtype)
 
-        def kernel(u_e, p_e, uprev_e, coords_e, h_e, prm):
+        def kernel(u_e, p_e, aux_e, coords_e, h_e, prm):
+            (uprev_e,) = aux_e
             rho, mu, dt = prm["rho"], prm["mu"], prm["dt"]
             f = prm["f"]
             nu = mu / rho
@@ -150,9 +177,7 @@ class StabilizedNSForm:
             # grad div u) vanishes for degree-1 elements.
             R = rho * ((u_q - up_q) / dt + conv) + grad_p - rho * f
             if d2phi_u is not None:
-                Hb = jnp.einsum(
-                    "qbde,qdg,qeh->qbgh", d2phi_u, invJ, invJ
-                )
+                Hb = jnp.einsum("qbde,qdg,qeh->qbgh", d2phi_u, invJ, invJ)
                 hess = jnp.einsum(
                     "bi,qbgh->qigh", 0.5 * (u_e + uprev_e), Hb
                 )
@@ -161,7 +186,7 @@ class StabilizedNSForm:
                 R = R - mu * (lap + graddiv)
 
             # tau_SUPG = (tau1^-2 + tau2^-2 + tau3^-2)^{-1/2}
-            # (stabilized_schur.py:100-108); vnorm uses u_prev to keep tau
+            # (stabilized_schur.py:100-108); vnorm uses u_prev so tau stays
             # constant through the Newton linearization (:91-93).
             vn = jnp.sqrt(jnp.sum(up_q * up_q, axis=-1))
             eps = jnp.asarray(eps_default, wdet.dtype)
@@ -191,131 +216,109 @@ class StabilizedNSForm:
         return kernel
 
     # ------------------------------------------------------------------
-    def _make_boundary_data(self, quad_degree: int):
+    # facet-term blocks
+    # ------------------------------------------------------------------
+    def add_facet_term(self, name: str, facet_indices, kernel) -> None:
+        """Attach a boundary term over a facet subset.
+
+        kernel(u_e, p_e, aux_e, coords_e, tabs, prm) -> r_u (nbu, dim);
+        tabs = dict(phi_u (nq, nbu), dphi_u (nq, nbu, d), phi_p (nq, nbp),
+        gdphi (nq, nvg, d), normal (nq, d), dS (nq,), h scalar).
+        """
         mesh = self.mesh
-        all_facets = np.arange(len(mesh.facets), dtype=np.int32)
-        fq = FacetQuadrature(mesh, all_facets, quad_degree)
-        phi_u_f, dphi_u_f = fq.tabulate(self.V.element)
-        phi_p_f, _ = fq.tabulate(self.Q.element)
+        facet_indices = np.asarray(facet_indices, dtype=np.int32)
+        if facet_indices.size == 0:
+            return
+        fq = FacetQuadrature(mesh, facet_indices, self.quad_degree)
+        phi_u, dphi_u = fq.tabulate(self.V.element)
+        phi_p, _ = fq.tabulate(self.Q.element)
         geom = LagrangeElement.create(mesh.cell_type, 1)
-        _, gdphi_f = fq.tabulate(geom)
+        _, gdphi = fq.tabulate(geom)
         _, normal, dS = fq.geometry()
 
         dt = self.dtype
         j = jnp.asarray
-        return {
-            "cells": j(fq.cells),
-            "group": j(fq.group),
-            "phi_u": j(phi_u_f, dtype=dt),
-            "dphi_u": j(dphi_u_f, dtype=dt),
-            "phi_p": j(phi_p_f, dtype=dt),
-            "gdphi": j(gdphi_f, dtype=dt),
-            "normal": j(normal, dtype=dt),
-            "dS": j(dS, dtype=dt),
+        g = fq.group
+        cells = fq.cells
+        block = {
+            "name": name,
+            "kernel": kernel,
+            "cells": j(cells),
+            "dofmap_u": j(np.asarray(self.V.dofmap)[cells]),
+            "dofmap_p": j(np.asarray(self.Q.dofmap)[cells]),
+            "dofmap_flat": j(self._dmf_np[cells]),
+            "tabs": {
+                "phi_u": j(phi_u, dtype=dt)[g],
+                "dphi_u": j(dphi_u, dtype=dt)[g],
+                "phi_p": j(phi_p, dtype=dt)[g],
+                "gdphi": j(gdphi, dtype=dt)[g],
+                "normal": j(normal, dtype=dt),
+                "dS": j(dS, dtype=dt),
+                "h": self.cell_h[j(cells)],
+            },
+            "coords": self.cell_coords[j(cells)],
         }
+        self._facet_blocks.append(block)
 
-    def _facet_kernel(
-        self, u_e, p_e, up_e, coords_e, phi_u, dphi_u, phi_p, gdphi,
-        normal, dS, prm,
-    ):
-        """Per-facet contribution of the natural boundary correction
-        `p n·v - mu (nabla_grad u_mid)^T n·v` (stabilized_schur.py:79).
-        Returns r_u (nbu, dim)."""
-        mu = prm["mu"]
-        J = jnp.einsum("vg,qvd->qgd", coords_e, gdphi)
-        _, invJ = det_and_inv(J)
-        gu = jnp.einsum("qbd,qdg->qbg", dphi_u, invJ)
-        um_e = 0.5 * (u_e + up_e)
-        grad_um = jnp.einsum("bi,qbg->qig", um_e, gu)
-        p_q = phi_p @ p_e
-        gtn = jnp.einsum("qjg,qj->qg", grad_um, normal)
-        term = p_q[:, None] * normal - mu * gtn  # (nq, d)
-        return jnp.einsum("q,qb,qi->bi", dS, phi_u, term)
-
-    def _facet_args(self):
-        """Per-facet vmap operands (tables gathered by group)."""
-        b = self._boundary
-        g = b["group"]
-        cells = b["cells"]
-        return (
-            self.cell_coords[cells],
-            b["phi_u"][g], b["dphi_u"][g], b["phi_p"][g], b["gdphi"][g],
-            b["normal"], b["dS"],
-        )
-
-    def _boundary_residual(self, u, p, u_prev, prm):
-        b = self._boundary
-        cells = b["cells"]
-        dm_u = self.dofmap_u[cells]
-        dm_p = self.dofmap_p[cells]
+    def _block_residual(self, block, u, p, aux, prm):
+        dm_u = block["dofmap_u"]
+        dm_p = block["dofmap_p"]
+        aux_e = tuple(a[dm_u] for a in aux)
         ru_f = jax.vmap(
-            self._facet_kernel,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None),
-        )(u[dm_u], p[dm_p], u_prev[dm_u], *self._facet_args(), prm)
-        ru = jnp.zeros((self.V.num_dofs, self.dim), self.dtype)
-        ru = ru.at[dm_u].add(ru_f)
-        return ru
+            block["kernel"], in_axes=(0, 0, 0, 0, 0, None)
+        )(u[dm_u], p[dm_p], aux_e, block["coords"], block["tabs"], prm)
+        return dm_u, ru_f
 
     # ------------------------------------------------------------------
-    def residual(self, u, p, u_prev, prm):
+    def residual(self, u, p, aux, prm):
         """Assembled residual (r_u (n_u, d), r_p (n_p,)) — jittable."""
         kernel = jax.vmap(self._kernel, in_axes=(0, 0, 0, 0, 0, None))
         u_e = u[self.dofmap_u]
         p_e = p[self.dofmap_p]
-        up_e = u_prev[self.dofmap_u]
+        aux_e = tuple(a[self.dofmap_u] for a in aux)
         ru_e, rp_e = kernel(
-            u_e, p_e, up_e, self.cell_coords, self.cell_h, prm
+            u_e, p_e, aux_e, self.cell_coords, self.cell_h, prm
         )
         ru = jnp.zeros((self.V.num_dofs, self.dim), self.dtype)
         rp = jnp.zeros((self.Q.num_dofs,), self.dtype)
         ru = ru.at[self.dofmap_u].add(ru_e)
         rp = rp.at[self.dofmap_p].add(rp_e)
-        if self._boundary is not None:
-            ru = ru + self._boundary_residual(u, p, u_prev, prm)
+        for block in self._facet_blocks:
+            dm_u, ru_f = self._block_residual(block, u, p, aux, prm)
+            ru = ru.at[dm_u].add(ru_f)
         return ru, rp
 
-    # ------------------------------------------------------------------
-    # Element Jacobians: the TPU-native replacement for the reference's
-    # assembled PETSc block matrix (stabilized_schur.py:191, :154). The
-    # exact per-element Jacobian blocks come from jacfwd of the element
-    # kernel (the analogue of UFL `derivative` at :187); the global
-    # operator is applied as gather -> batched (nloc x nloc) matmul ->
-    # scatter, which keeps the Krylov hot loop on dense batched matmuls.
     # ------------------------------------------------------------------
     def _flat_cell_kernel(self):
         nbu = self.V.element.ndofs
         dim = self.dim
 
-        def fk(xe, up_e, coords_e, h_e, prm):
+        def fk(xe, aux_e, coords_e, h_e, prm):
             u_e = xe[: nbu * dim].reshape(nbu, dim)
             p_e = xe[nbu * dim:]
-            ru, rp = self._kernel(u_e, p_e, up_e, coords_e, h_e, prm)
+            ru, rp = self._kernel(u_e, p_e, aux_e, coords_e, h_e, prm)
             return jnp.concatenate([ru.reshape(-1), rp])
 
         return fk
 
-    def _flat_facet_kernel(self):
+    def _flat_facet_kernel(self, kernel):
         nbu = self.V.element.ndofs
         nbp = self.Q.element.ndofs
         dim = self.dim
 
-        def fk(xe, up_e, coords_e, phi_u, dphi_u, phi_p, gdphi, normal,
-               dS, prm):
+        def fk(xe, aux_e, coords_e, tabs, prm):
             u_e = xe[: nbu * dim].reshape(nbu, dim)
             p_e = xe[nbu * dim:]
-            ru = self._facet_kernel(
-                u_e, p_e, up_e, coords_e, phi_u, dphi_u, phi_p, gdphi,
-                normal, dS, prm,
-            )
+            ru = kernel(u_e, p_e, aux_e, coords_e, tabs, prm)
             return jnp.concatenate(
                 [ru.reshape(-1), jnp.zeros((nbp,), ru.dtype)]
             )
 
         return fk
 
-    def element_jacobians(self, u, p, u_prev, prm):
-        """Exact element Jacobian blocks (A_cells (nc, nloc, nloc),
-        A_facets (nf, nloc, nloc) | None) at state (u, p)."""
+    def element_jacobians(self, u, p, aux, prm):
+        """Exact element Jacobian blocks: (A_cells (nc, nloc, nloc),
+        [(dofmap_flat, A_block) per facet term])."""
         xe = jnp.concatenate(
             [
                 u[self.dofmap_u].reshape(self.mesh.num_cells, -1),
@@ -323,53 +326,103 @@ class StabilizedNSForm:
             ],
             axis=1,
         )
-        up_e = u_prev[self.dofmap_u]
+        aux_e = tuple(a[self.dofmap_u] for a in aux)
         fk = self._flat_cell_kernel()
         A_cells = jax.vmap(
             jax.jacfwd(fk), in_axes=(0, 0, 0, 0, None)
-        )(xe, up_e, self.cell_coords, self.cell_h, prm)
+        )(xe, aux_e, self.cell_coords, self.cell_h, prm)
 
-        A_facets = None
-        if self._boundary is not None:
-            b = self._boundary
-            cells = b["cells"]
+        A_blocks = []
+        for block in self._facet_blocks:
+            dm_u = block["dofmap_u"]
+            dm_p = block["dofmap_p"]
             xef = jnp.concatenate(
-                [
-                    u[self.dofmap_u[cells]].reshape(len(cells), -1),
-                    p[self.dofmap_p[cells]],
-                ],
-                axis=1,
+                [u[dm_u].reshape(len(dm_u), -1), p[dm_p]], axis=1
             )
-            ffk = self._flat_facet_kernel()
-            A_facets = jax.vmap(
-                jax.jacfwd(ffk),
-                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None),
-            )(xef, u_prev[self.dofmap_u[cells]], *self._facet_args(), prm)
-        return A_cells, A_facets
+            aux_ef = tuple(a[dm_u] for a in aux)
+            ffk = self._flat_facet_kernel(block["kernel"])
+            A_f = jax.vmap(
+                jax.jacfwd(ffk), in_axes=(0, 0, 0, 0, None)
+            )(xef, aux_ef, block["coords"], block["tabs"], prm)
+            A_blocks.append((block["dofmap_flat"], A_f))
+        return A_cells, A_blocks
 
-    def apply_element_matrices(self, A_cells, A_facets, v_flat):
+    def apply_element_matrices(self, A_cells, A_blocks, v_flat):
         """y = A v with A given as element blocks; flat dof layout."""
         ve = v_flat[self.dofmap_flat]  # (nc, nloc)
         ye = jnp.einsum("cab,cb->ca", A_cells, ve)
         y = jnp.zeros((self.n_flat,), self.dtype).at[
             self.dofmap_flat
         ].add(ye)
-        if A_facets is not None:
-            vf = v_flat[self.facet_dofmap_flat]
-            yf = jnp.einsum("fab,fb->fa", A_facets, vf)
-            y = y.at[self.facet_dofmap_flat].add(yf)
+        for dmf, A_f in A_blocks:
+            vf = v_flat[dmf]
+            yf = jnp.einsum("fab,fb->fa", A_f, vf)
+            y = y.at[dmf].add(yf)
         return y
 
-    def jacobian_diagonal(self, A_cells, A_facets):
+    @property
+    def n_u_flat(self):
+        return self.V.num_dofs * self.dim
+
+    def apply_sub_block(self, A_cells, A_blocks, v, which: str):
+        """Apply one of the 2x2 fieldsplit sub-blocks of the element-block
+        operator: which in {"uu", "up", "pu", "pp"}. Input/output are the
+        u-part (n_u*dim,) or p-part (n_p,) vectors. Used by the Schur
+        preconditioner (the analogue of PETSc fieldsplit sub-matrices,
+        reference stabilized_schur.py:231-267)."""
+        nud = self.V.element.ndofs * self.dim
+        row_u = which[0] == "u"
+        col_u = which[1] == "u"
+        rs = slice(0, nud) if row_u else slice(nud, self.nloc)
+        cs = slice(0, nud) if col_u else slice(nud, self.nloc)
+        n_u_flat = self.n_u_flat
+        n_out = n_u_flat if row_u else self.Q.num_dofs
+
+        dm_col = (
+            self.dofmap_flat[:, cs]
+            if col_u
+            else self.dofmap_flat[:, cs] - n_u_flat
+        )
+        dm_row = (
+            self.dofmap_flat[:, rs]
+            if row_u
+            else self.dofmap_flat[:, rs] - n_u_flat
+        )
+        ve = v[dm_col]
+        ye = jnp.einsum("cab,cb->ca", A_cells[:, rs, cs], ve)
+        y = jnp.zeros((n_out,), self.dtype).at[dm_row].add(ye)
+        for dmf, A_f in A_blocks:
+            dmf_col = dmf[:, cs] if col_u else dmf[:, cs] - n_u_flat
+            dmf_row = dmf[:, rs] if row_u else dmf[:, rs] - n_u_flat
+            vf = v[dmf_col]
+            yf = jnp.einsum("fab,fb->fa", A_f[:, rs, cs], vf)
+            y = y.at[dmf_row].add(yf)
+        return y
+
+    def jacobian_diagonal(self, A_cells, A_blocks):
         """Assembled diagonal of the element-block operator (flat layout) —
         the Jacobi PC (stand-in for the reference's ASM sub-PCs)."""
         idx = jnp.arange(self.nloc)
         d = jnp.zeros((self.n_flat,), self.dtype).at[
             self.dofmap_flat
         ].add(A_cells[:, idx, idx])
-        if A_facets is not None:
-            d = d.at[self.facet_dofmap_flat].add(A_facets[:, idx, idx])
+        for dmf, A_f in A_blocks:
+            d = d.at[dmf].add(A_f[:, idx, idx])
         return d
+
+    # ------------------------------------------------------------------
+    def facet_flux(self, u, name: str):
+        """Q = int u·n dS over the named facet block (the resistance-BC
+        flux, reference stabilized_schur_pressure_backflow.py:383-385)."""
+        for block in self._facet_blocks:
+            if block["name"] == name:
+                u_e = u[block["dofmap_u"]]  # (nf, nbu, d)
+                u_q = jnp.einsum(
+                    "fqb,fbi->fqi", block["tabs"]["phi_u"], u_e
+                )
+                un = jnp.einsum("fqi,fqi->fq", u_q, block["tabs"]["normal"])
+                return jnp.sum(un * block["tabs"]["dS"])
+        raise KeyError(f"no facet block named {name!r}")
 
     # ------------------------------------------------------------------
     def l2_norm_sq(self, fn, num_components: int | None = None):
@@ -392,3 +445,85 @@ class StabilizedNSForm:
         detJ, _ = det_and_inv(J)
         detJ = jnp.abs(detJ)
         return jnp.sum(vals * detJ * self.qw[None, :])
+
+
+class StabilizedNSFormBDF2(StabilizedNSForm):
+    """BDF2 variant (reference stabilized_schur_bdf2.py:75-110): time term
+    rho (a0 u + a1 u_prev + a2 u_prev2)/dt with updatable coefficients
+    (BDF1 on the first step), convection/stress/continuity fully implicit
+    at u_sol; tau still frozen at u_prev.
+
+    aux = (u_prev, u_prev2); prm additionally carries bdf_a0/a1/a2.
+    """
+
+    N_AUX = 2
+
+    def _make_cell_kernel(self):
+        dim = self.dim
+        phi_u, dphi_u = self.phi_u, self.dphi_u
+        phi_p, dphi_p = self.phi_p, self.dphi_p
+        d2phi_u = self.d2phi_u
+        gdphi, qw = self.gdphi, self.qw
+        eps_default = self.eps
+        eye = jnp.eye(dim, dtype=self.dtype)
+
+        def kernel(u_e, p_e, aux_e, coords_e, h_e, prm):
+            uprev_e, uprev2_e = aux_e
+            rho, mu, dt = prm["rho"], prm["mu"], prm["dt"]
+            a0, a1, a2 = prm["bdf_a0"], prm["bdf_a1"], prm["bdf_a2"]
+            f = prm["f"]
+            nu = mu / rho
+
+            J = jnp.einsum("vg,qvd->qgd", coords_e, gdphi)
+            detJ, invJ = det_and_inv(J)
+            detJ = jnp.abs(detJ)
+            wdet = qw * detJ
+
+            gu = jnp.einsum("qbd,qdg->qbg", dphi_u, invJ)
+            gp = jnp.einsum("qbd,qdg->qbg", dphi_p, invJ)
+
+            u_q = phi_u @ u_e
+            up_q = phi_u @ uprev_e
+            up2_q = phi_u @ uprev2_e
+            dudt = (a0 * u_q + a1 * up_q + a2 * up2_q) / dt
+            grad_u = jnp.einsum("bi,qbg->qig", u_e, gu)
+            p_q = phi_p @ p_e
+            grad_p = jnp.einsum("b,qbg->qg", p_e, gp)
+
+            div_u = jnp.trace(grad_u, axis1=1, axis2=2)
+            conv = jnp.einsum("qig,qg->qi", grad_u, u_q)
+            sig = (
+                mu * (grad_u + jnp.swapaxes(grad_u, 1, 2))
+                - p_q[:, None, None] * eye
+            )
+
+            R = rho * (dudt + conv) + grad_p - rho * f
+            if d2phi_u is not None:
+                Hb = jnp.einsum("qbde,qdg,qeh->qbgh", d2phi_u, invJ, invJ)
+                hess = jnp.einsum("bi,qbgh->qigh", u_e, Hb)
+                lap = jnp.einsum("qigg->qi", hess)
+                graddiv = jnp.einsum("qjij->qi", hess)
+                R = R - mu * (lap + graddiv)
+
+            vn = jnp.sqrt(jnp.sum(up_q * up_q, axis=-1))
+            eps = jnp.asarray(eps_default, wdet.dtype)
+            t1 = h_e / jnp.maximum(2.0 * vn, eps)
+            t2 = dt / 2.0
+            t3 = (h_e * h_e) / (4.0 * nu)
+            tau = (t1 ** -2.0 + t2 ** -2.0 + t3 ** -2.0) ** -0.5
+            Re_h = vn * h_e / (2.0 * nu)
+            z = jnp.minimum(Re_h / 3.0, 1.0)
+            tau_lsic = vn * h_e * z / 2.0
+
+            mass = rho * (dudt + conv - f)
+            ru = jnp.einsum("q,qb,qi->bi", wdet, phi_u, mass)
+            ru += jnp.einsum("q,qij,qbj->bi", wdet, sig, gu)
+            adv_v = jnp.einsum("qbg,qg->qb", gu, u_q)
+            ru += jnp.einsum("q,qi,qb->bi", wdet * tau, R, adv_v)
+            ru += jnp.einsum("q,qbi->bi", wdet * tau_lsic * rho * div_u, gu)
+
+            rp = jnp.einsum("q,qb->b", wdet * div_u, phi_p)
+            rp += jnp.einsum("q,qi,qbi->b", wdet * tau / rho, R, gp)
+            return ru, rp
+
+        return kernel

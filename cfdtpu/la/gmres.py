@@ -25,6 +25,53 @@ def _identity_precond(v):
     return v
 
 
+def gmres_fixed(matvec, b, precond=None, m: int = 10):
+    """Fixed-iteration right-preconditioned GMRES (no convergence test, no
+    restart) — the inner solver for fieldsplit sub-blocks, where PETSc
+    would run a tolerance-free inner KSP (reference uses inner GMRES+ASM
+    sub-solves, stabilized_schur.py:261-264). Unrolled over m (static), so
+    XLA fuses the whole sweep; safe inside outer flexible GMRES.
+    """
+    M = precond if precond is not None else _identity_precond
+    n = b.shape[0]
+    dt = b.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny ** 0.5, dt)
+
+    beta = jnp.linalg.norm(b)
+    V = jnp.zeros((m + 1, n), dt).at[0].set(b / jnp.maximum(beta, tiny))
+    Z = jnp.zeros((m, n), dt)
+    H = jnp.zeros((m + 1, m), dt)
+
+    def body(j, state):
+        V, Z, H = state
+        z = M(V[j])
+        w = matvec(z)
+        Z = Z.at[j].set(z)
+        mask = (jnp.arange(m + 1) <= j).astype(dt)
+        h1 = (V @ w) * mask
+        w = w - V.T @ h1
+        h2 = (V @ w) * mask
+        w = w - V.T @ h2
+        h = h1 + h2
+        wnorm = jnp.linalg.norm(w)
+        h = h.at[j + 1].set(wnorm)
+        V = V.at[j + 1].set(w / jnp.maximum(wnorm, tiny))
+        H = H.at[:, j].set(h)
+        return (V, Z, H)
+
+    V, Z, H = jax.lax.fori_loop(0, m, body, (V, Z, H))
+
+    # least squares min ||beta e1 - H y|| via normal equations (m is
+    # small). Regularize relative to the spectrum so an exactly-zero rhs
+    # (H = 0 -> singular normal equations) yields y = 0, not NaN.
+    g = jnp.zeros(m + 1, dt).at[0].set(beta)
+    HtH = H.T @ H
+    reg = jnp.maximum(jnp.trace(HtH) / m, tiny) * jnp.asarray(1e-12, dt)
+    y = jnp.linalg.solve(HtH + reg * jnp.eye(m, dtype=dt), H.T @ g)
+    y = jnp.where(beta > tiny, y, 0.0)
+    return Z.T @ y
+
+
 def fgmres(
     matvec,
     b,

@@ -1,0 +1,178 @@
+"""DFG 2D-1 flow-around-cylinder benchmark scenario.
+
+Rebuild of /root/reference/src/scenarios/dfg_1.py: 2.2 x 0.41 channel with
+an r = 0.05 cylinder at (0.2, 0.2), parabolic inlet
+u_x = 4 U_max y (0.41 - y)/0.41^2 with U_max = 0.3 (Re = 20 at
+rho = 1, mu = 1e-3), no-slip walls and obstacle, p = 0 Dirichlet at the
+outlet. Mesh refinement near the obstacle (res_min = r/6, growing to
+H/13 within 2H — the reference's gmsh Threshold field, :145-158) is done
+with the native Delaunay generator. Post-processing writes drag_lift.txt
+(c_D = 500 F_D, c_L = 500 F_L, :204-211) and pressure_diff.txt from probes
+at (0.15, 0.2) / (0.25, 0.2) (:213-249). Marker convention fluid=1,
+inlet=2, outlet=3, wall=4, obstacle=5 (:17-22).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geom.delaunay2d import generate_mesh_2d, polyline_loop
+from ..spaces import BoundaryCondition
+from ..utils import resolve_dtype
+from .base import Scenario
+
+_L = 2.2
+_H = 0.41
+_CX = _CY = 0.2
+_R = 0.05
+
+
+class DFG1Benchmark(Scenario):
+    fluid_marker = 1
+    inlet_marker = 2
+    outlet_marker = 3
+    wall_marker = 4
+    obstacle_marker = 5
+
+    def __init__(
+        self,
+        solver_name,
+        dt,
+        T,
+        f=(0, 0),
+        *,
+        rho=1,
+        mu=1 / 1000,
+        res_scale=1.0,
+        dtype="auto",
+        **solver_kwargs,
+    ):
+        self._mesh = None
+        self._bcu = None
+        self._bcp = None
+        self.mu = mu
+        self.rho = rho
+        self.res_scale = float(res_scale)
+        self._dtype = resolve_dtype(dtype)
+        super().__init__(
+            solver_name, "dfg_1", rho, mu, dt, T, f, **solver_kwargs
+        )
+        self.setup()
+
+    # ------------------------------------------------------------------
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            self._mesh = self.generate_mesh()
+        return self._mesh
+
+    def generate_mesh(self):
+        res_min = _R / 6 * self.res_scale
+        res_max = _H / 13 * self.res_scale
+
+        def size_fn(x):
+            d = np.hypot(x[0] - _CX, x[1] - _CY) - _R
+            t = np.clip((d - _R) / (2 * _H - _R), 0.0, 1.0)
+            return res_min + (res_max - res_min) * t
+
+        outer = polyline_loop(
+            [(0, 0), (_L, 0), (_L, _H), (0, _H)], size_fn
+        )
+        nth = max(12, int(round(2 * np.pi * _R / res_min)))
+        th = np.linspace(0, 2 * np.pi, nth, endpoint=False)
+        hole = np.stack(
+            [_CX + _R * np.cos(th), _CY + _R * np.sin(th)], axis=-1
+        )
+        m = generate_mesh_2d(outer, [hole], size_fn, dtype=self._dtype)
+
+        m.mark_boundary_facets(
+            lambda x: np.isclose(x[0], 0.0), self.inlet_marker
+        )
+        m.mark_boundary_facets(
+            lambda x: np.isclose(x[0], _L), self.outlet_marker
+        )
+        m.mark_boundary_facets(
+            lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], _H),
+            self.wall_marker,
+        )
+        m.mark_boundary_facets(
+            lambda x: np.hypot(x[0] - _CX, x[1] - _CY) < _R + res_min,
+            self.obstacle_marker,
+        )
+        return m
+
+    # ------------------------------------------------------------------
+    @property
+    def bcu(self):
+        if self._bcu is None:
+            bcu_inflow = BoundaryCondition(self.inlet_velocity)
+            bcu_inflow.initTopological(
+                1, self.mesh.tagged_facets(self.inlet_marker)
+            )
+            bcu_walls = BoundaryCondition(np.zeros(2, dtype=self._dtype))
+            bcu_walls.initTopological(
+                1, self.mesh.tagged_facets(self.wall_marker)
+            )
+            bcu_obstacle = BoundaryCondition(np.zeros(2, dtype=self._dtype))
+            bcu_obstacle.initTopological(
+                1, self.mesh.tagged_facets(self.obstacle_marker)
+            )
+            self._bcu = [bcu_inflow, bcu_obstacle, bcu_walls]
+        return self._bcu
+
+    @property
+    def bcp(self):
+        if self._bcp is None:
+            bc_outflow = BoundaryCondition(0.0)
+            bc_outflow.initTopological(
+                1, self.mesh.tagged_facets(self.outlet_marker)
+            )
+            self._bcp = [bc_outflow]
+        return self._bcp
+
+    def initial_velocity(self, x):
+        return np.zeros((2, x.shape[1]), dtype=self._dtype)
+
+    @staticmethod
+    def inlet_velocity(x):
+        values = np.zeros((2, x.shape[1]))
+        values[0] = 4 * 0.3 * x[1] * (0.41 - x[1]) / (0.41 ** 2)
+        return values
+
+    # ------------------------------------------------------------------
+    def solve(self, output_folder, afterStepCallback=None):
+        out_path = super().solve(output_folder, afterStepCallback)
+        self.write_benchmark_outputs(out_path)
+        return out_path
+
+    def compute_drag_lift(self):
+        from ..postprocess.forces import BoundaryForce
+
+        bf = BoundaryForce(
+            self.solver.V, self.solver.Q,
+            self.mesh.tagged_facets(self.obstacle_marker),
+        )
+        fd, fl = bf.drag_lift(self.solver.u_sol, self.solver.p_sol, self.mu)
+        return float(fd), float(fl)
+
+    def compute_pressure_diff(self):
+        from ..postprocess import eval_at_points
+
+        pts = np.array([[0.15, 0.2], [0.25, 0.2]])
+        vals = eval_at_points(
+            self.solver.Q, np.asarray(self.solver.p_sol), pts
+        )
+        return float(vals[0] - vals[1])
+
+    def write_benchmark_outputs(self, out_path):
+        fd, fl = self.compute_drag_lift()
+        print(f"Drag: {500 * fd}")
+        print(f"Lift: {500 * fl}")
+        with open(f"{out_path}/drag_lift.txt", "w") as f:
+            f.write(f"Drag: {500 * fd}\n")
+            f.write(f"Lift: {500 * fl}\n")
+
+        p_diff = self.compute_pressure_diff()
+        print(f"Pressure difference: {p_diff}")
+        with open(f"{out_path}/pressure_diff.txt", "w") as f:
+            f.write(f"Pressure difference: {p_diff}\n")

@@ -1,19 +1,28 @@
 """SUPG/PSPG/LSIC-stabilized Newton-Krylov solver (Crank-Nicolson midpoint).
 
 TPU-native rebuild of the reference stabilized_schur solver
-(/root/reference/src/solvers/stabilized_schur.py): equal-order P1-P1
+(/root/reference/src/solvers/stabilized_schur.py): equal-order Pk-Pk
 spaces (:55-58), the stabilized weak form (:67-123), Newton with line
 search (:202-214, SNES newtonls) and FGMRES (:226-229). Where the reference
 assembles block matrices for a PETSc fieldsplit-Schur preconditioner
-(:231-267), this solver is matrix-free: the exact Jacobian action comes
-from jax.jvp of the residual, preconditioned (for now) with the assembled
-Jacobian diagonal — Schur-complement preconditioning lands on top of the
-same structure. The constant-pressure nullspace (:283-293) is handled by
+(:231-267), this solver applies exact element-Jacobian blocks as
+gather -> batched matmul -> scatter and preconditions with the assembled
+Jacobian diagonal (Schur-complement preconditioning builds on the same
+blocks). The constant-pressure nullspace (:283-293) is handled by
 mean-projection of the pressure block.
 
 The whole time step — Newton loop, Krylov iterations, line search, BC
 application — is one jitted function; time-varying BC values and physical
-constants are traced inputs, so nothing recompiles across steps.
+constants (including fixed-point boundary pressures) are traced inputs, so
+nothing recompiles across steps.
+
+Variant hooks for subclasses:
+    _make_form()            — time scheme / boundary-correction choice
+    _setup_boundary_terms() — attach tagged facet terms (weak pressure,
+                              Nitsche, backflow, resistance, ...)
+    _aux()                  — velocity history tuple
+    extra_params()          — solver-specific prm entries
+    _post_step()            — fixed-point updates (resistance pressure)
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ from .base import SolverBase
 
 class Solver(SolverBase):
     MAX_ITER = 20
+    BOUNDARY_CORRECTION = True
 
     def __init__(
         self,
@@ -52,8 +62,14 @@ class Solver(SolverBase):
         ksp_max_it: int = 1000,
         quad_degree: int | None = None,
         n_shards: int | None = None,
+        pc_type: str = "schur",
+        pc_inner_u: int = 8,
+        pc_inner_p: int = 10,
         **kwargs,
     ):
+        self.pc_type = pc_type
+        self.pc_inner_u = int(pc_inner_u)
+        self.pc_inner_p = int(pc_inner_p)
         super().__init__(mesh, dt, rho, mu, f, initial_velocity)
         from ..utils.dtypes import default_tolerances
 
@@ -62,19 +78,16 @@ class Solver(SolverBase):
         snes_atol = tols["snes_atol"] if snes_atol is None else snes_atol
         snes_stol = tols["snes_stol"] if snes_stol is None else snes_stol
         ksp_rtol = tols["ksp_rtol"] if ksp_rtol is None else ksp_rtol
+
         self.initVelocitySpace(int(p_grade))
         self.initPressureSpace(int(p_grade))
 
         if initial_velocity is not None:
             self.u_prev = jnp.asarray(self.V.interpolate(initial_velocity))
 
+        self.quad_degree = quad_degree
         self.form = self._make_form(quad_degree)
-        if n_shards:
-            from ..dist import ShardedNSForm, make_device_mesh
-
-            self.form = ShardedNSForm(
-                self.form, make_device_mesh(int(n_shards))
-            )
+        self.n_shards = n_shards
         self.newton_params = NewtonParams(
             max_it=int(snes_max_it),
             rtol=float(snes_rtol),
@@ -85,13 +98,42 @@ class Solver(SolverBase):
             ksp_maxiter=int(ksp_max_it),
         )
         self.last_stats: dict = {}
+        self.step_count = 0
 
-    # overridable by variants
+    # -- variant hooks --------------------------------------------------
     def _make_form(self, quad_degree):
-        return StabilizedNSForm(self.V, self.Q, quad_degree=quad_degree)
+        return StabilizedNSForm(
+            self.V, self.Q, quad_degree=quad_degree,
+            boundary_correction=self.BOUNDARY_CORRECTION,
+        )
+
+    def _setup_boundary_terms(self, facet_tags, tags) -> None:
+        pass
+
+    def _aux(self) -> tuple:
+        return (self.u_prev,)
+
+    def extra_params(self) -> dict:
+        return {}
+
+    def _post_step(self) -> None:
+        pass
+
+    def params(self) -> dict:
+        prm = self.base_params()
+        prm.update(self.extra_params())
+        return prm
 
     # ------------------------------------------------------------------
     def setup(self, bcu, bcp, facet_tags=None, tags=None) -> None:
+        self._setup_boundary_terms(facet_tags, tags)
+        if self.n_shards:
+            from ..dist import ShardedNSForm, make_device_mesh
+
+            self.form = ShardedNSForm(
+                self.form, make_device_mesh(int(self.n_shards))
+            )
+
         self.bcu_d = [bc.getBC(self.V) for bc in bcu]
         self.bcp_d = [bc.getBC(self.Q) for bc in bcp]
         self.bc_dofs_u, self._keep_u = combine_bcs(self.bcu_d, self.mesh.gdim)
@@ -99,8 +141,8 @@ class Solver(SolverBase):
 
         # The constant-pressure mode is a nullspace only when pressure is
         # nowhere constrained AND every boundary-velocity row is Dirichlet
-        # (otherwise the p n·v boundary term couples the constant mode);
-        # mirrors the nullsp.test(A) gating at stabilized_schur.py:314.
+        # (otherwise boundary terms couple the constant mode); mirrors the
+        # nullsp.test(A) gating at stabilized_schur.py:314.
         all_bdofs = self.V.facet_closure_dofs(
             np.arange(len(self.mesh.facets))
         )
@@ -137,11 +179,17 @@ class Solver(SolverBase):
             bc_mask_np[self.bc_dofs_u.astype(np.int64) * dim + d0] = True
         bc_mask_np[n_u * dim + self.bc_dofs_p.astype(np.int64)] = True
         bc_mask = jnp.asarray(bc_mask_np)
+        bc_mask_u = jnp.asarray(bc_mask_np[: n_u * dim])
+        bc_mask_p = (
+            jnp.asarray(bc_mask_np[n_u * dim:]) if has_bc_p else None
+        )
+        pc_type = self.pc_type
+        pc_inner_u, pc_inner_p = self.pc_inner_u, self.pc_inner_p
 
-        def step(u_prev, p_prev, bc_u_vals, bc_p_vals, prm):
+        def step(u_guess, p_guess, aux, bc_u_vals, bc_p_vals, prm):
             def F(x):
                 u, p = unravel(x)
-                ru, rp = form.residual(u, p, u_prev, prm)
+                ru, rp = form.residual(u, p, aux, prm)
                 if has_bc_u:
                     ru = ru.at[bc_dofs_u].set(u[bc_dofs_u] - bc_u_vals)
                 if has_bc_p:
@@ -152,19 +200,28 @@ class Solver(SolverBase):
 
             def make_operator(x):
                 u, p = unravel(x)
-                A_cells, A_facets = form.element_jacobians(
-                    u, p, u_prev, prm
-                )
+                A_cells, A_blocks = form.element_jacobians(u, p, aux, prm)
 
                 def matvec(v):
-                    y = form.apply_element_matrices(A_cells, A_facets, v)
+                    y = form.apply_element_matrices(A_cells, A_blocks, v)
                     y = jnp.where(bc_mask, v, y)
                     if pin_pressure:
                         du, dp = unravel(y)
                         y = ravel(du, dp - jnp.mean(dp))
                     return y
 
-                d = form.jacobian_diagonal(A_cells, A_facets)
+                if pc_type == "schur":
+                    from ..la.schur import make_schur_precond
+
+                    precond = make_schur_precond(
+                        form, A_cells, A_blocks, bc_mask_u,
+                        pin_pressure and not has_bc_p,
+                        m_u=pc_inner_u, m_p=pc_inner_p,
+                        bc_mask_p=bc_mask_p,
+                    )
+                    return matvec, precond
+
+                d = form.jacobian_diagonal(A_cells, A_blocks)
                 d = jnp.where(bc_mask, 1.0, d)
                 scale = jnp.max(jnp.abs(d))
                 floor = 1e-12 * scale
@@ -174,12 +231,10 @@ class Solver(SolverBase):
                 return matvec, (lambda v: v / d)
 
             def project(dx):
-                if not pin_pressure:
-                    return dx
                 du, dp = unravel(dx)
                 return ravel(du, dp - jnp.mean(dp))
 
-            x0 = ravel(u_prev, p_prev)
+            x0 = ravel(u_guess, p_guess)
             if pin_pressure:
                 x0 = project(x0)
             x, stats = newton_solve(
@@ -215,12 +270,15 @@ class Solver(SolverBase):
             bc_p_vals = jnp.zeros((0,), dt)
         return bc_u_vals, bc_p_vals
 
+    def _run_step(self, bc_u_vals, bc_p_vals):
+        return self._step(
+            self.u_prev, self.p_prev, self._aux(), bc_u_vals, bc_p_vals,
+            self.params(),
+        )
+
     def solveStep(self) -> None:
         bc_u_vals, bc_p_vals = self._bc_values()
-        u, p, r_u, r_p, stats = self._step(
-            self.u_prev, self.p_prev, bc_u_vals, bc_p_vals,
-            self.base_params(),
-        )
+        u, p, r_u, r_p, stats = self._run_step(bc_u_vals, bc_p_vals)
         converged = bool(stats["converged"])
         self.last_stats = {
             k: (v.item() if hasattr(v, "item") else v)
@@ -240,3 +298,5 @@ class Solver(SolverBase):
             f" iterations (with total number of"
             f" {self.last_stats['ksp_iters']} linear iterations)"
         )
+        self._post_step()
+        self.step_count += 1

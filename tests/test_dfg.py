@@ -1,0 +1,71 @@
+"""DFG 2D-1 benchmark smoke test + mesh generator quality checks.
+
+The full benchmark (steady state, c_D in [5.57, 5.59], c_L in
+[0.0104, 0.0110], dp in [0.1172, 0.1176] per the DFG reference intervals)
+runs too long for CI; scripts/run_dfg_benchmark.py runs it to convergence.
+Here: a few coarse steps must converge and produce plausible functionals.
+"""
+
+import numpy as np
+import pytest
+
+from cfdtpu.geom.delaunay2d import generate_mesh_2d, polyline_loop
+
+
+def test_mesh_generator_quality():
+    L, H, cx, cy, r = 2.2, 0.41, 0.2, 0.2, 0.05
+    res_min, res_max = r / 3, H / 8  # coarse for speed
+
+    def size_fn(x):
+        d = np.hypot(x[0] - cx, x[1] - cy) - r
+        t = np.clip((d - r) / (2 * H - r), 0, 1)
+        return res_min + (res_max - res_min) * t
+
+    outer = polyline_loop([(0, 0), (L, 0), (L, H), (0, H)], size_fn)
+    nth = max(8, int(round(2 * np.pi * r / res_min)))
+    th = np.linspace(0, 2 * np.pi, nth, endpoint=False)
+    hole = np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], -1)
+    m = generate_mesh_2d(outer, [hole], size_fn)
+
+    P = m.points[m.cells]
+    a = P[:, 1] - P[:, 0]
+    b = P[:, 2] - P[:, 0]
+    c = P[:, 2] - P[:, 1]
+    la, lb, lc = [np.linalg.norm(v, axis=1) for v in (a, b, c)]
+    area = 0.5 * np.abs(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
+    q = 4 * np.sqrt(3) * area / (la ** 2 + lb ** 2 + lc ** 2)
+    assert q.min() > 0.2, f"degenerate triangle, q_min={q.min()}"
+    assert q.mean() > 0.8
+    assert abs(area.sum() - (L * H - np.pi * r * r)) < 2e-3
+
+
+@pytest.fixture(scope="module")
+def dfg():
+    from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
+
+    sc = DFG1Benchmark(
+        "stabilized_schur", dt=0.05, T=0.5, res_scale=2.5,
+        early_stop_tolerance=1e-8, output_every=100,
+    )
+    s = sc.solver
+    for _ in range(6):
+        s.solveStep()
+        s.u_prev, s.p_prev = s.u_sol, s.p_sol
+    return sc
+
+
+def test_dfg_converges(dfg):
+    assert dfg.solver.last_stats["converged"]
+    u = np.asarray(dfg.solver.u_sol)
+    assert u[:, 0].max() < 0.6  # bounded by ~1.5x inlet max
+
+
+def test_dfg_functionals_plausible(dfg):
+    fd, fl = dfg.compute_drag_lift()
+    cd, cl = 500 * fd, 500 * fl
+    # coarse mesh + short horizon: order-of-magnitude window around the
+    # reference interval c_D ~ 5.58
+    assert 2.0 < cd < 12.0, cd
+    assert abs(cl) < 1.0, cl
+    dp = dfg.compute_pressure_diff()
+    assert 0.05 < dp < 0.3, dp
