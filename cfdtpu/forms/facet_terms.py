@@ -197,3 +197,69 @@ def directional_do_nothing(vel=midpoint_velocity):
         )
 
     return kernel
+
+
+def nitsche_tangential_curl(beta_key: str = "beta_nitsche",
+                            vel=midpoint_velocity):
+    """Curl-form symmetric Nitsche enforcement of u_T = 0
+    (stabilized_schur_pressurebc.py:187-205):
+    `- mu (curl u x n)·v_T - mu (curl v x n)·u_T + (beta mu/h) u_T·v_T`.
+    2D: curl x n = (-omega n_y, omega n_x) with omega = du_y/dx - du_x/dy.
+    """
+
+    def kernel(u_e, p_e, aux_e, coords_e, tabs, prm):
+        mu = prm["mu"]
+        beta = prm[beta_key]
+        n, dS, h = tabs["normal"], tabs["dS"], tabs["h"]
+        phi_u = tabs["phi_u"]
+        gu = _phys_grad_u(tabs, coords_e)  # (q, b, g)
+        um = vel(u_e, aux_e)
+        grad_um = jnp.einsum("bi,qbg->qig", um, gu)
+        u_q = jnp.einsum("qb,bi->qi", phi_u, um)
+        uT = u_q - jnp.einsum("qi,qi->q", u_q, n)[:, None] * n
+        dim = n.shape[-1]
+
+        if dim == 2:
+            omega = grad_um[:, 1, 0] - grad_um[:, 0, 1]  # (q,)
+            ccn_u = jnp.stack(
+                [-omega * n[:, 1], omega * n[:, 0]], axis=-1
+            )  # (q, 2)
+            # curl(phi_b e_i) x n: for i=0 rot = -dphi/dy, i=1 rot = +dphi/dx
+            rot_v = jnp.stack([-gu[:, :, 1], gu[:, :, 0]], axis=-1)  # (q,b,i)
+            # (omega_v x n) for test (b, i): omega_v = rot_v[q, b, i]
+            # -> vector (-omega_v n_y, omega_v n_x)
+            ccn_v = jnp.stack(
+                [
+                    -jnp.einsum("qbi,q->qbi", rot_v, n[:, 1]),
+                    jnp.einsum("qbi,q->qbi", rot_v, n[:, 0]),
+                ],
+                axis=-1,
+            )  # (q, b, i, k)
+        else:
+            curl_um = jnp.stack(
+                [
+                    grad_um[:, 2, 1] - grad_um[:, 1, 2],
+                    grad_um[:, 0, 2] - grad_um[:, 2, 0],
+                    grad_um[:, 1, 0] - grad_um[:, 0, 1],
+                ],
+                axis=-1,
+            )
+            ccn_u = jnp.cross(curl_um, n)
+            eye3 = jnp.eye(3, dtype=gu.dtype)
+            curl_v = jnp.cross(gu[:, :, None, :], eye3[None, None, :, :])
+            ccn_v = jnp.cross(curl_v, n[:, None, None, :])  # (q, b, i, k)
+
+        # consistency: -mu (curl u x n)·v_T with v = phi_b e_i:
+        # v_T,k = phi_b (delta_ki - n_k n_i); dot gives
+        # phi_b (ccn_u_i - (ccn_u·n) n_i)
+        ccn_uT = ccn_u - jnp.einsum("qk,qk->q", ccn_u, n)[:, None] * n
+        ru = -mu * jnp.einsum("q,qb,qi->bi", dS, phi_u, ccn_uT)
+
+        # symmetry: -mu (curl v x n)·u_T
+        ru += -mu * jnp.einsum("q,qbik,qk->bi", dS, ccn_v, uT)
+
+        # penalty
+        ru += beta * mu * jnp.einsum("q,qb,qi->bi", dS / h, phi_u, uT)
+        return ru
+
+    return kernel

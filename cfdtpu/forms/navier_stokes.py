@@ -411,6 +411,55 @@ class StabilizedNSForm:
         return d
 
     # ------------------------------------------------------------------
+    def pressure_matrices(self, u_prev, prm):
+        """Element matrices on Q for PCD preconditioning
+        (the Ap/Mp/Kp operators the reference gets from fenicsx-pctools,
+        SURVEY.md 2.4): pressure Laplacian Ap, pressure mass Mp, and the
+        convection-diffusion operator Fp = nu Ap + N(u_prev).
+        Returns (Ap_e, Mp_e, Fp_e) each (nc, nbp, nbp)."""
+        nu = prm["mu"] / prm["rho"]
+        J = jnp.einsum("cvg,qvd->cqgd", self.cell_coords, self.gdphi)
+        detJ, invJ = det_and_inv(J)
+        wdet = jnp.abs(detJ) * self.qw[None, :]
+        gp = jnp.einsum("qbd,cqdg->cqbg", self.dphi_p, invJ)
+        Ap = jnp.einsum("cq,cqag,cqbg->cab", wdet, gp, gp)
+        Mp = jnp.einsum(
+            "cq,qa,qb->cab", wdet, self.phi_p, self.phi_p
+        )
+        up_q = jnp.einsum("qb,cbi->cqi", self.phi_u,
+                          u_prev[self.dofmap_u])
+        conv = jnp.einsum("cq,qa,cqbg,cqg->cab", wdet, self.phi_p, gp,
+                          up_q)
+        Fp = nu * Ap + conv
+        return Ap, Mp, Fp
+
+    def velocity_mass_diagonal(self):
+        """Diagonal of the velocity mass matrix in the flat u layout —
+        the Q scaling of the LSC commutator (Elman et al.)."""
+        J = jnp.einsum("cvg,qvd->cqgd", self.cell_coords, self.gdphi)
+        detJ, _ = det_and_inv(J)
+        wdet = jnp.abs(detJ) * self.qw[None, :]
+        md = jnp.einsum("cq,qb,qb->cb", wdet, self.phi_u, self.phi_u)
+        d = jnp.zeros((self.V.num_dofs,), self.dtype).at[
+            self.dofmap_u
+        ].add(md)
+        return jnp.repeat(d, self.dim)
+
+    def apply_p_matrix(self, A_e, v):
+        """Apply an element matrix on Q: y = A v."""
+        ve = v[self.dofmap_p]
+        ye = jnp.einsum("cab,cb->ca", A_e, ve)
+        return jnp.zeros((self.Q.num_dofs,), self.dtype).at[
+            self.dofmap_p
+        ].add(ye)
+
+    def p_matrix_diagonal(self, A_e):
+        idx = jnp.arange(self.Q.element.ndofs)
+        return jnp.zeros((self.Q.num_dofs,), self.dtype).at[
+            self.dofmap_p
+        ].add(A_e[:, idx, idx])
+
+    # ------------------------------------------------------------------
     def facet_flux(self, u, name: str):
         """Q = int u·n dS over the named facet block (the resistance-BC
         flux, reference stabilized_schur_pressure_backflow.py:383-385)."""
@@ -523,6 +572,111 @@ class StabilizedNSFormBDF2(StabilizedNSForm):
             ru += jnp.einsum("q,qbi->bi", wdet * tau_lsic * rho * div_u, gu)
 
             rp = jnp.einsum("q,qb->b", wdet * div_u, phi_p)
+            rp += jnp.einsum("q,qi,qbi->b", wdet * tau / rho, R, gp)
+            return ru, rp
+
+        return kernel
+
+
+class StabilizedNSFormCurlCurl(StabilizedNSForm):
+    """Curl-curl (rotational) formulation (reference
+    stabilized_schur_pressurebc.py:90-160): viscous term
+    mu curl(u_mid)·curl(v), Lamb-form skew convection
+    rho (curl(u_mid) x u_mid)·v - rho/2 |u_mid|^2 div(v), pressure
+    -p div(v), continuity q div(u_mid); SUPG/PSPG/LSIC with the strong
+    residual R = rho(du/dt + curl(u_mid) x u_mid) + grad p - rho f
+    (viscous part omitted per standard SUPG practice, :148-150).
+
+    2D uses the scalar rotation omega = du_y/dx - du_x/dy with
+    curl x w = (-omega w_y, omega w_x) (:95-110).
+    """
+
+    def _make_cell_kernel(self):
+        dim = self.dim
+        phi_u, dphi_u = self.phi_u, self.dphi_u
+        phi_p, dphi_p = self.phi_p, self.dphi_p
+        gdphi, qw = self.gdphi, self.qw
+        eps_default = self.eps
+
+        def kernel(u_e, p_e, aux_e, coords_e, h_e, prm):
+            (uprev_e,) = aux_e
+            rho, mu, dt = prm["rho"], prm["mu"], prm["dt"]
+            f = prm["f"]
+            nu = mu / rho
+
+            J = jnp.einsum("vg,qvd->qgd", coords_e, gdphi)
+            detJ, invJ = det_and_inv(J)
+            detJ = jnp.abs(detJ)
+            wdet = qw * detJ
+
+            gu = jnp.einsum("qbd,qdg->qbg", dphi_u, invJ)
+            gp = jnp.einsum("qbd,qdg->qbg", dphi_p, invJ)
+
+            u_q = phi_u @ u_e
+            up_q = phi_u @ uprev_e
+            um_q = 0.5 * (u_q + up_q)
+            grad_um = 0.5 * jnp.einsum(
+                "bi,qbg->qig", u_e + uprev_e, gu
+            )
+            p_q = phi_p @ p_e
+            grad_p = jnp.einsum("b,qbg->qg", p_e, gp)
+            div_um = jnp.trace(grad_um, axis1=1, axis2=2)
+
+            if dim == 2:
+                omega = grad_um[:, 1, 0] - grad_um[:, 0, 1]  # (q,)
+                cross = jnp.stack(
+                    [-omega * um_q[:, 1], omega * um_q[:, 0]], axis=-1
+                )
+                # rot of test fn phi_b e_i: i=0 -> -dphi_b/dy, i=1 -> +dphi_b/dx
+                rot_v = jnp.stack([-gu[:, :, 1], gu[:, :, 0]], axis=-1)
+                visc = jnp.einsum(
+                    "q,qbi->bi", wdet * mu * omega, rot_v
+                )
+            else:
+                curl_um = jnp.stack(
+                    [
+                        grad_um[:, 2, 1] - grad_um[:, 1, 2],
+                        grad_um[:, 0, 2] - grad_um[:, 2, 0],
+                        grad_um[:, 1, 0] - grad_um[:, 0, 1],
+                    ],
+                    axis=-1,
+                )  # (q, 3)
+                cross = jnp.cross(curl_um, um_q)
+                # curl(phi_b e_i) = grad(phi_b) x e_i -> (q, b, i, 3)
+                eye3 = jnp.eye(3, dtype=wdet.dtype)
+                curl_v = jnp.cross(
+                    gu[:, :, None, :], eye3[None, None, :, :]
+                )
+                visc = jnp.einsum(
+                    "q,qk,qbik->bi", wdet * mu, curl_um, curl_v
+                )
+
+            umag2 = jnp.sum(um_q * um_q, axis=-1)
+
+            R = rho * ((u_q - up_q) / dt + cross) + grad_p - rho * f
+
+            vn = jnp.sqrt(jnp.sum(up_q * up_q, axis=-1))
+            eps = jnp.asarray(eps_default, wdet.dtype)
+            t1 = h_e / jnp.maximum(2.0 * vn, eps)
+            t2 = dt / 2.0
+            t3 = (h_e * h_e) / (4.0 * nu)
+            tau = (t1 ** -2.0 + t2 ** -2.0 + t3 ** -2.0) ** -0.5
+            Re_h = vn * h_e / (2.0 * nu)
+            z = jnp.minimum(Re_h / 3.0, 1.0)
+            tau_lsic = vn * h_e * z / 2.0
+
+            mass = rho * ((u_q - up_q) / dt + cross - f)
+            ru = jnp.einsum("q,qb,qi->bi", wdet, phi_u, mass)
+            ru += visc
+            # -(p + rho/2 |u_mid|^2) div(v)
+            ru += jnp.einsum(
+                "q,qbi->bi", -wdet * (p_q + 0.5 * rho * umag2), gu
+            )
+            adv_v = jnp.einsum("qbg,qg->qb", gu, um_q)
+            ru += jnp.einsum("q,qi,qb->bi", wdet * tau, R, adv_v)
+            ru += jnp.einsum("q,qbi->bi", wdet * tau_lsic * rho * div_um, gu)
+
+            rp = jnp.einsum("q,qb->b", wdet * div_um, phi_p)
             rp += jnp.einsum("q,qi,qbi->b", wdet * tau / rho, R, gp)
             return ru, rp
 

@@ -252,8 +252,8 @@ class Scenario(ABC):
         for w in writers.values():
             w.close()
 
-        norm_v = float(jnp.sqrt(solver.form.l2_norm_sq(solver.u_sol)))
-        norm_p = float(jnp.sqrt(solver.form.l2_norm_sq(solver.p_sol)))
+        norm_v = float(jnp.sqrt(solver.l2_norm_sq(solver.u_sol)))
+        norm_p = float(jnp.sqrt(solver.l2_norm_sq(solver.p_sol)))
         with open(os.path.join(output_folder, "norms.txt"), "w") as f:
             f.write(f"L2 norm of velocity: {norm_v}\n")
             f.write(f"L2 norm of pressure: {norm_p}\n")
@@ -272,7 +272,6 @@ class Scenario(ABC):
         return self.compute_error(u_e, self.solver.u_sol)
 
     def compute_error(self, u, u_aprox) -> float:
-        form = self.solver.form
-        err = float(jnp.sqrt(form.l2_norm_sq(u_aprox - u)))
-        norm = float(jnp.sqrt(form.l2_norm_sq(u)))
+        err = float(jnp.sqrt(self.solver.l2_norm_sq(u_aprox - u)))
+        norm = float(jnp.sqrt(self.solver.l2_norm_sq(u)))
         return err / norm

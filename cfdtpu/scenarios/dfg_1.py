@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..geom.delaunay2d import generate_mesh_2d, polyline_loop
+from ..geom.dfg import generate_dfg_mesh
 from ..spaces import BoundaryCondition
 from ..utils import resolve_dtype
 from .base import Scenario
@@ -67,39 +67,14 @@ class DFG1Benchmark(Scenario):
         return self._mesh
 
     def generate_mesh(self):
-        res_min = _R / 6 * self.res_scale
-        res_max = _H / 13 * self.res_scale
-
-        def size_fn(x):
-            d = np.hypot(x[0] - _CX, x[1] - _CY) - _R
-            t = np.clip((d - _R) / (2 * _H - _R), 0.0, 1.0)
-            return res_min + (res_max - res_min) * t
-
-        outer = polyline_loop(
-            [(0, 0), (_L, 0), (_L, _H), (0, _H)], size_fn
+        return generate_dfg_mesh(
+            res_scale=self.res_scale,
+            dtype=self._dtype,
+            inlet_marker=self.inlet_marker,
+            outlet_marker=self.outlet_marker,
+            wall_marker=self.wall_marker,
+            obstacle_marker=self.obstacle_marker,
         )
-        nth = max(12, int(round(2 * np.pi * _R / res_min)))
-        th = np.linspace(0, 2 * np.pi, nth, endpoint=False)
-        hole = np.stack(
-            [_CX + _R * np.cos(th), _CY + _R * np.sin(th)], axis=-1
-        )
-        m = generate_mesh_2d(outer, [hole], size_fn, dtype=self._dtype)
-
-        m.mark_boundary_facets(
-            lambda x: np.isclose(x[0], 0.0), self.inlet_marker
-        )
-        m.mark_boundary_facets(
-            lambda x: np.isclose(x[0], _L), self.outlet_marker
-        )
-        m.mark_boundary_facets(
-            lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], _H),
-            self.wall_marker,
-        )
-        m.mark_boundary_facets(
-            lambda x: np.hypot(x[0] - _CX, x[1] - _CY) < _R + res_min,
-            self.obstacle_marker,
-        )
-        return m
 
     # ------------------------------------------------------------------
     @property

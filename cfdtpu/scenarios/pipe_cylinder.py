@@ -1,0 +1,100 @@
+"""Pipe-with-cylinder scenario (DFG geometry twin).
+
+Rebuild of /root/reference/src/scenarios/pipe_cylinder.py: the dfg_1
+geometry with parabolic inlet and p = 0 Dirichlet outlet; the
+benchmark-data twin of the FEATFLOW DFG reference series shipped in
+cfdtpu/validation (reference keeps them in src/benchmark_data/pipe_cylinder).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geom.dfg import generate_dfg_mesh
+from ..spaces import BoundaryCondition
+from ..utils import resolve_dtype
+from .base import Scenario
+
+
+class PipeCylinderSimulation(Scenario):
+    fluid_marker = 1
+    inlet_marker = 2
+    outlet_marker = 3
+    wall_marker = 4
+    obstacle_marker = 5
+
+    def __init__(
+        self,
+        solver_name,
+        dt,
+        T,
+        f=(0, 0),
+        *,
+        rho=1,
+        mu=1 / 1000,
+        u_max=0.3,
+        res_scale=1.0,
+        dtype="auto",
+        **solver_kwargs,
+    ):
+        self._mesh = None
+        self._bcu = None
+        self._bcp = None
+        self.u_max = float(u_max)
+        self.res_scale = float(res_scale)
+        self._dtype = resolve_dtype(dtype)
+        super().__init__(
+            solver_name, "pipe_cylinder", rho, mu, dt, T, f,
+            **solver_kwargs,
+        )
+        self.setup()
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            self._mesh = generate_dfg_mesh(
+                res_scale=self.res_scale, dtype=self._dtype,
+                inlet_marker=self.inlet_marker,
+                outlet_marker=self.outlet_marker,
+                wall_marker=self.wall_marker,
+                obstacle_marker=self.obstacle_marker,
+            )
+        return self._mesh
+
+    @property
+    def bcu(self):
+        if self._bcu is None:
+            u_max = self.u_max
+
+            def inlet(x):
+                values = np.zeros((2, x.shape[1]))
+                values[0] = 4 * u_max * x[1] * (0.41 - x[1]) / (0.41 ** 2)
+                return values
+
+            bcu_in = BoundaryCondition(inlet)
+            bcu_in.initTopological(
+                1, self.mesh.tagged_facets(self.inlet_marker)
+            )
+            bcu_walls = BoundaryCondition(np.zeros(2, dtype=self._dtype))
+            bcu_walls.initTopological(
+                1, self.mesh.tagged_facets(self.wall_marker)
+            )
+            bcu_obs = BoundaryCondition(np.zeros(2, dtype=self._dtype))
+            bcu_obs.initTopological(
+                1, self.mesh.tagged_facets(self.obstacle_marker)
+            )
+            self._bcu = [bcu_in, bcu_obs, bcu_walls]
+        return self._bcu
+
+    @property
+    def bcp(self):
+        if self._bcp is None:
+            bc_out = BoundaryCondition(0.0)
+            bc_out.initTopological(
+                1, self.mesh.tagged_facets(self.outlet_marker)
+            )
+            self._bcp = [bc_out]
+        return self._bcp
+
+    def initial_velocity(self, x):
+        return np.zeros((2, x.shape[1]), dtype=self._dtype)

@@ -85,6 +85,10 @@ class SolverBase(ABC):
     def solveStep(self) -> None:
         ...
 
+    def l2_norm_sq(self, fn):
+        """Integral of |fn|^2 (delegates to the solver's form)."""
+        return self.form.l2_norm_sq(fn)
+
     # -- params pytree ----------------------------------------------------
     def base_params(self) -> dict:
         dt = self.dtype

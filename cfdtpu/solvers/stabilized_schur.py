@@ -70,6 +70,7 @@ class Solver(SolverBase):
         self.pc_type = pc_type
         self.pc_inner_u = int(pc_inner_u)
         self.pc_inner_p = int(pc_inner_p)
+        self._pcd_bc_mask = None  # set by PCD solvers (outlet p dofs)
         super().__init__(mesh, dt, rho, mu, f, initial_velocity)
         from ..utils.dtypes import default_tolerances
 
@@ -218,6 +219,34 @@ class Solver(SolverBase):
                         pin_pressure and not has_bc_p,
                         m_u=pc_inner_u, m_p=pc_inner_p,
                         bc_mask_p=bc_mask_p,
+                    )
+                    return matvec, precond
+                if pc_type == "lsc":
+                    from ..la.lsc import make_lsc_precond
+
+                    precond = make_lsc_precond(
+                        form, A_cells, A_blocks, bc_mask_u,
+                        pin_pressure and not has_bc_p,
+                        m_u=pc_inner_u, m_p=pc_inner_p,
+                        bc_mask_p=bc_mask_p,
+                    )
+                    return matvec, precond
+                if pc_type == "pcd":
+                    from ..la.pcd import make_pcd_precond
+
+                    Ap_e, Mp_e, Fp_e = form.pressure_matrices(aux[0], prm)
+                    pcd_mask = bc_mask_p
+                    if self._pcd_bc_mask is not None:
+                        pcd_mask = (
+                            self._pcd_bc_mask
+                            if pcd_mask is None
+                            else (pcd_mask | self._pcd_bc_mask)
+                        )
+                    precond = make_pcd_precond(
+                        form, A_cells, A_blocks, Ap_e, Mp_e, Fp_e,
+                        bc_mask_u, pin_pressure and not has_bc_p,
+                        m_u=pc_inner_u, m_p=pc_inner_p,
+                        bc_mask_p=pcd_mask,
                     )
                     return matvec, precond
 

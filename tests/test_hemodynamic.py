@@ -1,0 +1,118 @@
+"""Hemodynamic BC suite tests: curl-curl solvers, stenosis scenario, IPCS."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.test_variants import ChannelScenario, _parabolic
+
+
+def test_pressurebc_channel(tmp_path):
+    sc = ChannelScenario(
+        "stabilized_schur_pressurebc", dt=0.05, T=0.15,
+        p_inlet=1.0, p_outlet=0.0,
+    )
+    sc.solve(str(tmp_path))
+    u = np.asarray(sc.solver.u_sol)
+    assert sc.solver.last_stats["converged"]
+    assert u[:, 0].max() > 0.03  # pressure-driven flow develops
+    # Nitsche keeps tangential velocity small at both ends
+    for xval in (0.0, 2.0):
+        dofs = sc.solver.V.locate_dofs_geometrical(
+            lambda x, xv=xval: np.isclose(x[0], xv)
+        )
+        assert abs(u[dofs, 1]).max() < 0.15 * abs(u[:, 0]).max()
+
+
+def test_vascularbc_fixed_point(tmp_path):
+    sc = ChannelScenario(
+        "stabilized_schur_vascularbc", dt=0.05, T=0.2,
+        p_inlet=1.0, R_resistance=1.0,
+    )
+    sc.solve(str(tmp_path))
+    s = sc.solver
+    assert s.last_stats["converged"]
+    # resistance fixed point tracked a positive outlet pressure
+    assert s.p_outlet_w > 0
+    Q = s.outlet_flux()
+    assert abs(s.p_outlet_w * 2 - s.R_resistance * abs(Q)) < 0.5
+
+
+def test_vascularbc_weak_and_backflow(tmp_path):
+    for solver in (
+        "stabilized_schur_vascularbc_weak",
+        "stabilized_schur_vascularbc_backflow",
+    ):
+        sc = ChannelScenario(
+            solver, dt=0.05, T=0.1, p_inlet=1.0, R_resistance=1.0,
+        )
+        sc.solve(str(tmp_path / solver.split("_")[-1]))
+        assert sc.solver.last_stats["converged"], solver
+
+
+def test_cbc_and_ddn(tmp_path):
+    for solver in (
+        "stabilized_schur_vascularbc_cbc",
+        "stabilized_schur_vascularbc_ddn",
+    ):
+        sc = ChannelScenario(
+            solver, dt=0.05, T=0.1,
+            inlet_velocity=_parabolic, v_max=1.0,
+        )
+        sc.solve(str(tmp_path / solver.split("_")[-1]))
+        assert sc.solver.last_stats["converged"], solver
+        u = np.asarray(sc.solver.u_sol)
+        assert u[:, 0].max() > 0.3, solver
+
+
+def test_velocity_vascular_backflow(tmp_path):
+    sc = ChannelScenario(
+        "stabilized_schur_velocity_vascular_backflow", dt=0.05, T=0.15,
+        inlet_velocity=_parabolic, v_max=1.0, R_resistance=1.0,
+    )
+    sc.solve(str(tmp_path))
+    s = sc.solver
+    assert s.last_stats["converged"]
+    assert s.p_c > 0  # damped resistance pressure developed
+
+
+def test_stenosis_scenario(tmp_path):
+    from cfdtpu.scenarios.stenosis import StenosisSimulation
+
+    sc = StenosisSimulation(
+        "stabilized_schur_pressurebc", dt=0.005, T=0.01,
+        res=0.6, output_every=10,
+    )
+    out = sc.solve(str(tmp_path))
+    assert (tmp_path / "ffr.txt").exists()
+    txt = (tmp_path / "ffr.txt").read_text()
+    assert "FFR" in txt
+    u = np.asarray(sc.solver.u_sol)
+    assert np.isfinite(u).all()
+    # blood flows towards the outlet under the 65 mmHg gradient
+    assert u[:, 0].mean() > 0
+
+
+def test_ipcs_midpoint_lid(tmp_path):
+    from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+
+    sc = LidDriven2DSimulation(
+        "ipcs_midpoint", dt=0.005, T=0.03, mu=0.01, nx=10
+    )
+    sc.solve(str(tmp_path))
+    u = np.asarray(sc.solver.u_sol)
+    assert abs(u).max() < 1.2
+    assert abs(u).max() > 0.5
+
+
+def test_ipcs_bdf2_unit_square():
+    from cfdtpu.scenarios.unit_square import UnitSquareSimulation
+
+    sc = UnitSquareSimulation(
+        "ipcs_bdf2", dt=0.005, T=0.04, mu=0.05, nx=8
+    )
+    s = sc.solver
+    for _ in range(8):
+        s.solveStep()
+        s.u_prev, s.p_prev = s.u_sol, s.p_sol
+    assert float(jnp.abs(s.u_sol).max()) < 1.2
