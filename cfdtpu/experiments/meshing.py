@@ -1,0 +1,116 @@
+"""Experiment-matrix mesh generation.
+
+Rebuild of /root/reference/src/experiments/meshing.py: the experiment
+matrix is the cartesian product of the `matrix:` YAML lists
+(generate_experiment_matrix, :21-27); per combination, meshes are built in
+stages (tree via VascuSynth, geometry via CadQuery/gmsh in the reference)
+into per-experiment directories exp_NNN_key_value...
+
+Native capability: 2D stenosis geometries mesh natively (Delaunay or
+structured); the 3D VascuSynth/CadQuery stages remain offline
+preprocessing — when their tools are missing the stage reports exactly
+what is needed and which experiments were skipped.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from pathlib import Path
+
+from ..utils.config import load_config
+
+
+def generate_experiment_matrix(config: dict) -> list[dict]:
+    """All combinations of the matrix axes (reference :21-27)."""
+    matrix = config.get("matrix", {})
+    keys = list(matrix.keys())
+    values = [v if isinstance(v, list) else [v] for v in matrix.values()]
+    return [dict(zip(keys, v)) for v in itertools.product(*values)]
+
+
+def experiment_name(i: int, experiment: dict) -> str:
+    name = f"exp_{i:03d}"
+    for k, v in experiment.items():
+        name += f"_{k}_{str(v).replace('.', 'p')}"
+    return name
+
+
+def run_meshing(config_path, output_base, job_idx=None, mode="all") -> int:
+    config = load_config(config_path)
+    base = config.get("base_params", {})
+    sim = config.get("simulation_params", {})
+    combinations = generate_experiment_matrix(config)
+    output_base = Path(output_base)
+    print(f"[INFO] Total experiments: {len(combinations)}")
+
+    if job_idx is not None:
+        if not 0 <= job_idx < len(combinations):
+            print(
+                f"[ERROR] job_idx {job_idx} out of range "
+                f"(0-{len(combinations) - 1})"
+            )
+            return 1
+        todo = [(job_idx, combinations[job_idx])]
+    else:
+        todo = list(enumerate(combinations))
+
+    geometry_type = sim.get("geometry_type", "stenosis2d")
+    n_done = n_skipped = 0
+    for i, experiment in todo:
+        params = {**base, **sim, **experiment}
+        gtype = params.get("geometry_type", geometry_type)
+        exp_dir = output_base / experiment_name(i, experiment)
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        mesh_path = exp_dir / "mesh.msh"
+
+        if gtype in ("stenosis2d", "stenosis_2d"):
+            _mesh_stenosis2d(params, exp_dir)
+            n_done += 1
+        elif gtype in ("stenosis", "tree", "full"):
+            print(
+                f"[SKIP] {exp_dir.name}: geometry_type '{gtype}' requires "
+                f"the offline VascuSynth/CadQuery/gmsh pipeline (not in "
+                f"this environment). Generate mesh.msh offline and place "
+                f"it at {mesh_path}."
+            )
+            n_skipped += 1
+        else:
+            print(f"[ERROR] unknown geometry_type '{gtype}'")
+            return 1
+    print(f"[INFO] meshing done: {n_done} generated, {n_skipped} skipped")
+    return 0
+
+
+def _mesh_stenosis2d(params: dict, exp_dir: Path) -> None:
+    """Native 2D stenosis meshing stage; writes mesh.npz (points/cells/
+    facet tags) consumed by the solving stage."""
+    import numpy as np
+
+    from ..geom.stenosis2d import generate_stenosis_mesh_2d
+
+    mesh = generate_stenosis_mesh_2d(
+        L=params.get("length", 138.0),
+        R_in=params.get("radius_in", 1.57),
+        R_out=params.get("radius_out", 1.2),
+        res=params.get("artery_mesh_size_from_curvature", 0.5) or 0.5,
+        x_position_stenosis=params.get("stenosis_position", 30.0),
+        severity=params.get("stenosis_severity", 0.5),
+        slope=params.get("stenosis_slope", 0.4),
+        # experiment meshes use the geom/stenosis convention inlet=1,
+        # outlet=2, wall=3 (reference stenosis.py:12-15)
+        inlet_marker=1,
+        outlet_marker=2,
+        wall_marker=3,
+    )
+    np.savez(
+        exp_dir / "mesh.npz",
+        points=mesh.points,
+        cells=mesh.cells,
+        cell_type=str(mesh.cell_type),
+        facet_tags=mesh.facet_tags,
+        facets=mesh.facets,
+        facet_cells=mesh.facet_cells,
+        facet_local_index=mesh.facet_local_index,
+    )
+    print(f"[MESH] {exp_dir.name}: {mesh.num_cells} cells -> mesh.npz")
