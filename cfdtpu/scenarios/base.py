@@ -60,12 +60,16 @@ class Scenario(ABC):
         f,
         early_stop_tolerance: float = 1e-3,
         output_every: int = 1,
+        checkpoint_every: int = 0,
+        resume_from: str | None = None,
         **solver_kwargs,
     ):
         self.solver_name = solver_name
         self.scenario_name = scenario_name
         self.early_stop_tolerance = early_stop_tolerance
         self.output_every = max(1, int(output_every))
+        self.checkpoint_every = int(checkpoint_every)
+        self.resume_from = resume_from
 
         try:
             solver_module = import_module(f"cfdtpu.solvers.{solver_name}")
@@ -195,9 +199,15 @@ class Scenario(ABC):
         }
 
         t = 0.0
-        solver.u_sol = jnp.asarray(
-            solver.V.interpolate(self.initial_velocity)
-        )
+        i = 0
+        if self.resume_from:
+            t, i = self.load_checkpoint(self.resume_from)
+            print(f"[checkpoint] resumed from {self.resume_from} at "
+                  f"t={t:.4f} (step {i})")
+        else:
+            solver.u_sol = jnp.asarray(
+                solver.V.interpolate(self.initial_velocity)
+            )
         solver.assemble_wss()
 
         def write_all(t):
@@ -208,6 +218,8 @@ class Scenario(ABC):
             writers["wss"].write(t, solver.shear_stress)
 
         write_all(t)
+        stats_log = open(f"{output_folder}/solver_stats.txt", "w")
+        stats_log.write("# step t wall_s newton_iters ksp_iters fnorm\n")
 
         error_log = None
         if self.has_exact_solution:
@@ -215,11 +227,24 @@ class Scenario(ABC):
             error = self.compute_error_at(t)
             error_log.write("t = %.3f: error = %.3g\n" % (t, error))
 
-        i = 0
+        import time as _time
+
         while t < T:
+            _t0 = _time.perf_counter()
             solver.solveStep()
+            _wall = _time.perf_counter() - _t0
             i += 1
             t += self.dt
+            st = getattr(solver, "last_stats", {})
+            stats_log.write(
+                f"{i} {t:.6f} {_wall:.4f} "
+                f"{st.get('newton_iters', 0)} {st.get('ksp_iters', 0)} "
+                f"{st.get('fnorm', float('nan'))}\n"
+            )
+            if self.checkpoint_every and i % self.checkpoint_every == 0:
+                self.save_checkpoint(
+                    os.path.join(output_folder, "checkpoint.npz"), t, i
+                )
 
             if self.has_exact_solution:
                 error = self.compute_error_at(t)
@@ -251,6 +276,11 @@ class Scenario(ABC):
 
         for w in writers.values():
             w.close()
+        stats_log.close()
+        if self.checkpoint_every:
+            self.save_checkpoint(
+                os.path.join(output_folder, "checkpoint.npz"), t, i
+            )
 
         norm_v = float(jnp.sqrt(solver.l2_norm_sq(solver.u_sol)))
         norm_p = float(jnp.sqrt(solver.l2_norm_sq(solver.p_sol)))
@@ -262,6 +292,29 @@ class Scenario(ABC):
             error_log.close()
 
         return output_folder
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume: the reference has no solver-state
+    # checkpointing (SURVEY.md 5.4); with array state it is a single
+    # npz of (u_sol, p_sol, u_prev, p_prev, t, step).
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str, t: float, step: int) -> None:
+        s = self.solver
+        np.savez(
+            path,
+            u_sol=np.asarray(s.u_sol), p_sol=np.asarray(s.p_sol),
+            u_prev=np.asarray(s.u_prev), p_prev=np.asarray(s.p_prev),
+            t=t, step=step,
+        )
+
+    def load_checkpoint(self, path: str) -> tuple[float, int]:
+        data = np.load(path)
+        s = self.solver
+        s.u_sol = jnp.asarray(data["u_sol"])
+        s.p_sol = jnp.asarray(data["p_sol"])
+        s.u_prev = jnp.asarray(data["u_prev"])
+        s.p_prev = jnp.asarray(data["p_prev"])
+        return float(data["t"]), int(data["step"])
 
     # ------------------------------------------------------------------
     def compute_error_at(self, t: float) -> float:
