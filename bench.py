@@ -4,10 +4,12 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 BASELINE.json north star: DFG 2D-1 at ~1M DOF >= 5 time-steps/sec/chip.
 
 Env knobs:
-    BENCH_SCENARIO   dfg (default) | lid
-    BENCH_RES_SCALE  DFG mesh scale; dofs ~ 9.8k / scale^2 (default 0.35)
+    BENCH_SCENARIO   dfg (default) | lid | spmv
+    BENCH_RES_SCALE  DFG mesh scale; dofs ~ 9.8k / scale^2 (default 1.0 —
+                     conservative: the axon TPU worker in this environment
+                     has crashed under larger workloads)
     BENCH_NX         lid mesh size (default 64)
-    BENCH_STEPS      timed steps (default 10)
+    BENCH_STEPS      timed steps (default 3)
 """
 
 import json
@@ -21,7 +23,7 @@ import numpy as np
 def _bench_dfg(steps: int):
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
 
-    res_scale = float(os.environ.get("BENCH_RES_SCALE", "0.35"))
+    res_scale = float(os.environ.get("BENCH_RES_SCALE", "1.0"))
     sc = DFG1Benchmark(
         "stabilized_schur", dt=0.05, T=1e9, res_scale=res_scale,
         dtype="auto",
@@ -37,7 +39,7 @@ def _bench_dfg(steps: int):
     s.u_sol.block_until_ready()
     elapsed = time.perf_counter() - t0
     ndofs = s.V.num_global_dofs + s.Q.num_global_dofs
-    return f"dfg_2d1_{ndofs}dof", steps / elapsed
+    return f"dfg_2d1_{ndofs}dof", steps / elapsed, "steps/sec/chip"
 
 
 def _bench_lid(steps: int):
@@ -54,21 +56,74 @@ def _bench_lid(steps: int):
     u.block_until_ready()
     elapsed = time.perf_counter() - t0
     ndofs = solver.V.num_global_dofs + solver.Q.num_global_dofs
-    return f"lid_driven2D_{ndofs}dof", steps / elapsed
+    return f"lid_driven2D_{ndofs}dof", steps / elapsed, "steps/sec/chip"
+
+
+def _bench_spmv(reps: int):
+    """Element-block operator application bandwidth (the BASELINE 'SpMV
+    GB/s' metric): gather -> batched (nloc x nloc) matmul -> sorted
+    segment-sum scatter."""
+    import jax
+    import jax.numpy as jnp
+
+    from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
+
+    res_scale = float(os.environ.get("BENCH_RES_SCALE", "1.0"))
+    sc = DFG1Benchmark(
+        "stabilized_schur", dt=0.05, T=1e9, res_scale=res_scale,
+        dtype="auto",
+    )
+    s = sc.solver
+    form = s.form
+    prm = s.params()
+    A_cells, A_blocks = jax.jit(
+        lambda u, p: form.element_jacobians(u, p, (u,), prm)
+    )(s.u_prev, s.p_prev)
+    v = jnp.ones((form.n_flat,), form.dtype)
+    mv = jax.jit(
+        lambda v: form.apply_element_matrices(A_cells, A_blocks, v)
+    )
+    y = mv(v)
+    y.block_until_ready()
+    reps = max(reps, 20)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = mv(y / jnp.linalg.norm(y))
+    y.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / reps
+    nc = form.mesh.num_cells
+    nloc = form.nloc
+    itemsize = np.dtype(form.dtype).itemsize
+    nbytes = nc * nloc * nloc * itemsize  # A stream (dominant)
+    nbytes += 3 * nc * nloc * itemsize    # gather-in, local-out, scatter
+    return f"spmv_{nc}cells", nbytes / elapsed / 1e9, "GB/s"
 
 
 def main():
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
     scenario = os.environ.get("BENCH_SCENARIO", "dfg")
-    name, sps = (
-        _bench_dfg(steps) if scenario == "dfg" else _bench_lid(steps)
-    )
-    result = {
-        "metric": f"{name}_steps_per_sec",
-        "value": round(sps, 3),
-        "unit": "steps/sec/chip",
-        "vs_baseline": round(sps / 5.0, 3),
-    }
+    try:
+        if scenario == "lid":
+            name, val, unit = _bench_lid(steps)
+        elif scenario == "spmv":
+            name, val, unit = _bench_spmv(steps)
+        else:
+            name, val, unit = _bench_dfg(steps)
+        vs = val / 5.0 if unit.startswith("steps") else val / 100.0
+        result = {
+            "metric": f"{name}_{unit.split('/')[0]}",
+            "value": round(float(val), 4),
+            "unit": unit,
+            "vs_baseline": round(float(vs), 4),
+        }
+    except Exception as e:  # robust: always emit the JSON line
+        result = {
+            "metric": f"{scenario}_bench_failed",
+            "value": 0.0,
+            "unit": "steps/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }
     print(json.dumps(result))
 
 

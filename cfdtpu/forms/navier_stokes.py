@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..assembly import FacetQuadrature
 from ..elements import LagrangeElement, quadrature
 from ..spaces import FunctionSpace
-from ..utils import det_and_inv
+from ..utils import det_and_inv, SortedScatter
 from .facet_terms import natural_correction
 
 
@@ -112,6 +112,11 @@ class StabilizedNSForm:
         self.dofmap_flat = j(self._dmf_np)
         self.nloc = nbu * dim + nbp
         self.n_flat = V.num_dofs * dim + Q.num_dofs
+
+        # sorted-segment scatters for the hot assembly/matvec paths
+        self._scatter_u = SortedScatter(np.asarray(V.dofmap), V.num_dofs)
+        self._scatter_p = SortedScatter(np.asarray(Q.dofmap), Q.num_dofs)
+        self._scatter_flat = SortedScatter(self._dmf_np, self.n_flat)
 
         self._kernel = self._make_cell_kernel()
 
@@ -279,10 +284,9 @@ class StabilizedNSForm:
         ru_e, rp_e = kernel(
             u_e, p_e, aux_e, self.cell_coords, self.cell_h, prm
         )
-        ru = jnp.zeros((self.V.num_dofs, self.dim), self.dtype)
-        rp = jnp.zeros((self.Q.num_dofs,), self.dtype)
-        ru = ru.at[self.dofmap_u].add(ru_e)
-        rp = rp.at[self.dofmap_p].add(rp_e)
+        nbu = self.V.element.ndofs
+        ru = self._scatter_u(ru_e.reshape(-1, self.dim))
+        rp = self._scatter_p(rp_e.reshape(-1))
         for block in self._facet_blocks:
             dm_u, ru_f = self._block_residual(block, u, p, aux, prm)
             ru = ru.at[dm_u].add(ru_f)
@@ -348,12 +352,11 @@ class StabilizedNSForm:
         return A_cells, A_blocks
 
     def apply_element_matrices(self, A_cells, A_blocks, v_flat):
-        """y = A v with A given as element blocks; flat dof layout."""
+        """y = A v with A given as element blocks; flat dof layout. The
+        cell scatter uses the sorted segment_sum path (Krylov hot loop)."""
         ve = v_flat[self.dofmap_flat]  # (nc, nloc)
         ye = jnp.einsum("cab,cb->ca", A_cells, ve)
-        y = jnp.zeros((self.n_flat,), self.dtype).at[
-            self.dofmap_flat
-        ].add(ye)
+        y = self._scatter_flat(ye.reshape(-1))
         for dmf, A_f in A_blocks:
             vf = v_flat[dmf]
             yf = jnp.einsum("fab,fb->fa", A_f, vf)
@@ -403,9 +406,7 @@ class StabilizedNSForm:
         """Assembled diagonal of the element-block operator (flat layout) —
         the Jacobi PC (stand-in for the reference's ASM sub-PCs)."""
         idx = jnp.arange(self.nloc)
-        d = jnp.zeros((self.n_flat,), self.dtype).at[
-            self.dofmap_flat
-        ].add(A_cells[:, idx, idx])
+        d = self._scatter_flat(A_cells[:, idx, idx].reshape(-1))
         for dmf, A_f in A_blocks:
             d = d.at[dmf].add(A_f[:, idx, idx])
         return d

@@ -25,7 +25,8 @@ def _identity_precond(v):
     return v
 
 
-def gmres_fixed(matvec, b, precond=None, m: int = 10):
+def gmres_fixed(matvec, b, precond=None, m: int = 10,
+                reorth: bool = True):
     """Fixed-iteration right-preconditioned GMRES (no convergence test, no
     restart) — the inner solver for fieldsplit sub-blocks, where PETSc
     would run a tolerance-free inner KSP (reference uses inner GMRES+ASM
@@ -50,9 +51,12 @@ def gmres_fixed(matvec, b, precond=None, m: int = 10):
         mask = (jnp.arange(m + 1) <= j).astype(dt)
         h1 = (V @ w) * mask
         w = w - V.T @ h1
-        h2 = (V @ w) * mask
-        w = w - V.T @ h2
-        h = h1 + h2
+        if reorth:
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
+        else:
+            h = h1
         wnorm = jnp.linalg.norm(w)
         h = h.at[j + 1].set(wnorm)
         V = V.at[j + 1].set(w / jnp.maximum(wnorm, tiny))

@@ -93,12 +93,16 @@ def make_schur_precond(
         return y
 
     def solve_Auu(r):
-        return gmres_fixed(Auu, r, precond=lambda v: v / d_u, m=m_u)
+        # single-orthogonalization sweeps: the PC only needs an
+        # approximate inverse; halves the non-matvec cost per iteration
+        return gmres_fixed(Auu, r, precond=lambda v: v / d_u, m=m_u,
+                           reorth=False)
 
     def solve_S(r):
         if pin_pressure:
             r = r - jnp.mean(r)
-        z = gmres_fixed(S, r, precond=lambda v: v / d_p, m=m_p)
+        z = gmres_fixed(S, r, precond=lambda v: v / d_p, m=m_p,
+                        reorth=False)
         if pin_pressure:
             z = z - jnp.mean(z)
         return z

@@ -82,22 +82,27 @@ class Mesh:
         nfv = len(local_facets[0])
         nc = self.num_cells
 
-        # All (cell, local facet) facets, keyed by sorted vertex tuple.
-        all_f = np.concatenate(
-            [self.cells[:, list(f)] for f in local_facets], axis=0
-        )  # (nc * nlf, nfv), block i holds local facet i of all cells
-        keys = np.sort(all_f, axis=1)
-        _, first_idx, inverse, counts = np.unique(
-            keys, axis=0, return_index=True, return_inverse=True,
-            return_counts=True,
-        )
-        boundary_unique = np.where(counts == 1)[0]
-        # Map back to the (cell, local_facet) instance that owns each
-        # boundary facet.
-        rows = first_idx[boundary_unique]
-        cells_of = (rows % nc).astype(np.int32)
-        lf_of = (rows // nc).astype(np.int32)
-        fverts = all_f[rows].astype(np.int32)
+        from ..native import boundary_facets as native_bf
+
+        native = native_bf(self.cells, np.asarray(local_facets))
+        if native is not None:
+            fverts, cells_of, lf_of = native
+        else:
+            # numpy fallback: all (cell, local facet) facets keyed by
+            # sorted vertex tuple; boundary = count 1
+            all_f = np.concatenate(
+                [self.cells[:, list(f)] for f in local_facets], axis=0
+            )  # (nc * nlf, nfv), block i holds local facet i of all cells
+            keys = np.sort(all_f, axis=1)
+            _, first_idx, inverse, counts = np.unique(
+                keys, axis=0, return_index=True, return_inverse=True,
+                return_counts=True,
+            )
+            boundary_unique = np.where(counts == 1)[0]
+            rows = first_idx[boundary_unique]
+            cells_of = (rows % nc).astype(np.int32)
+            lf_of = (rows // nc).astype(np.int32)
+            fverts = all_f[rows].astype(np.int32)
 
         # Orient outward.
         fverts = self._orient_outward(fverts, cells_of)

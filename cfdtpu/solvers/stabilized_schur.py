@@ -63,13 +63,15 @@ class Solver(SolverBase):
         quad_degree: int | None = None,
         n_shards: int | None = None,
         pc_type: str = "schur",
-        pc_inner_u: int = 8,
-        pc_inner_p: int = 10,
+        pc_inner_u: int = 6,
+        pc_inner_p: int = 30,
+        pc_schur_fact: str = "full",
         **kwargs,
     ):
         self.pc_type = pc_type
         self.pc_inner_u = int(pc_inner_u)
         self.pc_inner_p = int(pc_inner_p)
+        self.pc_schur_fact = pc_schur_fact
         self._pcd_bc_mask = None  # set by PCD solvers (outlet p dofs)
         super().__init__(mesh, dt, rho, mu, f, initial_velocity)
         from ..utils.dtypes import default_tolerances
@@ -219,6 +221,7 @@ class Solver(SolverBase):
                         pin_pressure and not has_bc_p,
                         m_u=pc_inner_u, m_p=pc_inner_p,
                         bc_mask_p=bc_mask_p,
+                        full=self.pc_schur_fact == "full",
                     )
                     return matvec, precond
                 if pc_type == "lsc":

@@ -64,12 +64,19 @@ class FunctionSpace:
         if k >= 2 and mesh.dim >= 2:
             edges_local = cell_edges(mesh.cell_type)
             # global edge numbering from unique sorted vertex pairs
-            cell_edge_verts = np.stack(
-                [cells[:, [a, b]] for (a, b) in edges_local], axis=1
-            )  # (nc, n_edges_local, 2)
-            keys = np.sort(cell_edge_verts.reshape(-1, 2), axis=1)
-            uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-            edge_ids = inv.reshape(nc, len(edges_local))
+            from ..native import edge_numbering as native_en
+
+            native = native_en(cells, np.asarray(edges_local))
+            if native is not None:
+                edge_ids, n_uniq = native
+            else:
+                cell_edge_verts = np.stack(
+                    [cells[:, [a, b]] for (a, b) in edges_local], axis=1
+                )  # (nc, n_edges_local, 2)
+                keys = np.sort(cell_edge_verts.reshape(-1, 2), axis=1)
+                uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+                edge_ids = inv.reshape(nc, len(edges_local))
+                n_uniq = len(uniq)
             n_edge_dofs = k - 1
             for ei, (a, b) in enumerate(edges_local):
                 local = el.entity_dofs[1][ei]
@@ -81,8 +88,8 @@ class FunctionSpace:
                 for j, ld in enumerate(local):
                     jj = np.where(flip, n_edge_dofs - 1 - j, j)
                     dofmap[:, ld] = base + jj
-            offset += len(uniq) * n_edge_dofs
-            self.num_edges = len(uniq)
+            offset += n_uniq * n_edge_dofs
+            self.num_edges = n_uniq
         else:
             self.num_edges = 0
 

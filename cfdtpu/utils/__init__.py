@@ -1,4 +1,4 @@
-from .geometry import det_and_inv
+from .geometry import det_and_inv, SortedScatter
 from .dtypes import resolve_dtype
 
-__all__ = ["det_and_inv", "resolve_dtype"]
+__all__ = ["det_and_inv", "SortedScatter", "resolve_dtype"]

@@ -60,3 +60,34 @@ def det_and_inv(J):
         ) * idet[..., None, None]
         return det, inv
     raise ValueError(f"det_and_inv supports d <= 3, got {d}")
+
+
+class SortedScatter:
+    """Scatter-add via sorted segment_sum.
+
+    jnp's .at[].add lowers to an XLA scatter, which serializes duplicate
+    indices on TPU; pre-sorting the contributions by destination dof and
+    using segment_sum(indices_are_sorted=True) turns global FEM assembly
+    into the TPU-native reduction pattern (SURVEY.md 7: "assembly =
+    vmapped quadrature + segment_sum").
+    """
+
+    def __init__(self, index_array, n_out: int):
+        import numpy as np
+
+        flat = np.asarray(index_array).reshape(-1)
+        perm = np.argsort(flat, kind="stable")
+        self.perm = jnp.asarray(perm.astype(np.int32))
+        self.sorted_ids = jnp.asarray(flat[perm].astype(np.int32))
+        self.n_out = int(n_out)
+
+    def __call__(self, vals_flat):
+        """vals_flat: (N, ...) contributions in the index array's
+        flattened order; returns (n_out, ...) sums."""
+        import jax
+
+        v = vals_flat[self.perm]
+        return jax.ops.segment_sum(
+            v, self.sorted_ids, num_segments=self.n_out,
+            indices_are_sorted=True,
+        )
