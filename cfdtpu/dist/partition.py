@@ -141,3 +141,8 @@ class ShardedNSForm:
 
     def facet_flux(self, u, name):
         return self.inner.facet_flux(u, name)
+
+    def __getattr__(self, name):
+        # delegate everything else (n_u_flat, apply_sub_block,
+        # pressure_matrices, scatters, tables, ...) to the serial form
+        return getattr(self.inner, name)

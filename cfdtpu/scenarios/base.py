@@ -229,6 +229,13 @@ class Scenario(ABC):
 
         import time as _time
 
+        trace_dir = os.environ.get("CFDTPU_PROFILE")
+        if trace_dir:
+            import jax
+
+            jax.profiler.start_trace(trace_dir)
+            print(f"[profile] tracing to {trace_dir}")
+
         while t < T:
             _t0 = _time.perf_counter()
             solver.solveStep()
@@ -274,6 +281,10 @@ class Scenario(ABC):
             solver.u_prev = solver.u_sol
             solver.p_prev = solver.p_sol
 
+        if trace_dir:
+            import jax
+
+            jax.profiler.stop_trace()
         for w in writers.values():
             w.close()
         stats_log.close()

@@ -1,0 +1,131 @@
+"""Aux-subsystem tests: checkpoint/resume, stats log, validation data,
+tree components, stenosis+tree meshing."""
+
+import numpy as np
+import pytest
+
+
+def test_checkpoint_resume(tmp_path):
+    from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.03, mu=0.05, nx=8,
+        checkpoint_every=2,
+    )
+    sc.solve(str(tmp_path / "a"))
+    ck = tmp_path / "a" / "checkpoint.npz"
+    assert ck.exists()
+    assert (tmp_path / "a" / "solver_stats.txt").exists()
+
+    sc2 = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.05, mu=0.05, nx=8,
+        resume_from=str(ck),
+    )
+    t, step = sc2.load_checkpoint(str(ck))
+    assert step == 3
+    assert abs(t - 0.03) < 1e-12
+    u_resumed = np.asarray(sc2.solver.u_sol)
+    assert np.allclose(u_resumed, np.asarray(sc.solver.u_sol))
+
+
+def test_dfg_interval_checker():
+    from cfdtpu.validation import check_dfg_2d1
+
+    res = check_dfg_2d1(5.58, 0.0106, 0.1174)
+    assert all(v["inside"] for v in res.values())
+    res2 = check_dfg_2d1(6.0, 0.0106, 0.1174)
+    assert not res2["cd"]["inside"]
+    assert res2["cd"]["rel_err"] > 0.05
+
+
+def test_tree_2d_murray():
+    from cfdtpu.geom.tree.tree_2d import VascularTree2D
+
+    t = VascularTree2D(r_root=1.0, n_generations=3, asymmetry=0.5)
+    t.generate((0.0, 0.0), 0.0)
+    assert len(t.terminals) == 8
+    # Murray's law: r_p^3 = r_l^3 + r_r^3
+    for e in t.edges:
+        children = [c for c in t.edges if c["from"] == e["to"]]
+        if len(children) == 2:
+            rp3 = e["radius"] ** 3
+            rc3 = sum(c["radius"] ** 3 for c in children)
+            assert abs(rp3 - rc3) < 1e-12
+    assert t.poiseuille_resistance(mu=3.5e-3) > 0
+
+
+def test_gxl_parser(tmp_path):
+    from cfdtpu.geom.tree.gxl import parse_gxl
+
+    gxl = """<?xml version="1.0"?>
+<gxl><graph id="t">
+<node id="n0"><attr name=" position"><tup><float>1</float>
+<float>2</float><float>3</float></tup></attr></node>
+<node id="n1"><attr name=" position"><tup><float>4</float>
+<float>5</float><float>6</float></tup></attr></node>
+<edge from="n0" to="n1"><attr name=" radius"><float>0.05</float>
+</attr></edge>
+</graph></gxl>"""
+    p = tmp_path / "t.gxl"
+    p.write_text(gxl)
+    nodes, edges = parse_gxl(str(p), voxel_width=2.0)
+    assert np.allclose(nodes["n0"], [2, 4, 6])  # x voxel_width
+    assert abs(edges[0]["radius"] - 0.5) < 1e-12  # cm -> mm
+
+
+def test_tree_model_prune(tmp_path):
+    from cfdtpu.geom.tree.tree_model import VascularTree
+
+    nodes = {f"n{i}": np.array([float(i), 0, 0]) for i in range(7)}
+    edges = [
+        {"from": "n0", "to": "n1", "radius": 1.0},
+        {"from": "n1", "to": "n2", "radius": 0.8},
+        {"from": "n1", "to": "n3", "radius": 0.8},
+        {"from": "n2", "to": "n4", "radius": 0.6},
+        {"from": "n2", "to": "n5", "radius": 0.6},
+        {"from": "n3", "to": "n6", "radius": 0.6},
+    ]
+    t = VascularTree(nodes=nodes, edges=edges, root="n0")
+    t._assign_levels()
+    assert sorted(t.terminals) == ["n4", "n5", "n6"]
+    t.apply_modifications(vessel_loss_factor=0.4)
+    assert len(t.terminals) < 3 or len(t.edges) < 6
+    t.apply_modifications(hyperemia_factor=2.0)
+    assert max(e["radius"] for e in t.edges) <= 2.0
+
+
+def test_stenosis_tree_mesh_quality():
+    from cfdtpu.geom.tree.tree_2d import VascularTree2D
+    from cfdtpu.geom.tree_mesh2d import generate_stenosis_tree_mesh_2d
+
+    tree = VascularTree2D(r_root=1.2, n_generations=2).generate(
+        (138.0, 1.57), 0.0
+    )
+    m = generate_stenosis_tree_mesh_2d(res=0.5, tree=tree)
+    assert len(m.tagged_facets(3)) >= 4  # terminal-cap outlets
+    P = m.points[m.cells]
+    a = P[:, 1] - P[:, 0]
+    b = P[:, 2] - P[:, 0]
+    area = 0.5 * np.abs(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
+    la = np.linalg.norm(a, axis=1)
+    lb = np.linalg.norm(b, axis=1)
+    lc = np.linalg.norm(P[:, 2] - P[:, 1], axis=1)
+    q = 4 * np.sqrt(3) * area / (la ** 2 + lb ** 2 + lc ** 2)
+    assert q.min() > 0.2
+
+
+def test_native_matches_numpy():
+    import cfdtpu.native as nat
+    from cfdtpu.mesh import create_unit_cube
+
+    if nat._load() is None:
+        pytest.skip("native toolchain unavailable")
+    m = create_unit_cube(4)
+    nat._lib, nat._tried = None, True
+    m2 = create_unit_cube(4)
+    import importlib
+
+    importlib.reload(nat)
+    assert np.array_equal(np.sort(m.facets, axis=None),
+                          np.sort(m2.facets, axis=None))
+    assert np.array_equal(m.facet_cells.sum(), m2.facet_cells.sum())
