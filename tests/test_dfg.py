@@ -63,6 +63,8 @@ def test_dfg_converges(dfg):
 def test_dfg_functionals_plausible(dfg):
     fd, fl = dfg.compute_drag_lift()
     cd, cl = 500 * fd, 500 * fl
+    fdr, flr = dfg.compute_drag_lift(method="reaction")
+    assert 2.0 < 500 * fdr < 12.0
     # coarse mesh + short horizon: order-of-magnitude window around the
     # reference interval c_D ~ 5.58
     assert 2.0 < cd < 12.0, cd
