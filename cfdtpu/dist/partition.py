@@ -78,7 +78,15 @@ class ShardedNSForm:
         # keep the serial form's auxiliary API (l2_norm_sq etc.)
         self.l2_norm_sq = form.l2_norm_sq
 
+        self.dofmap_flat = jnp.asarray(
+            _pad_to(form._dmf_np, nc_pad).astype(np.int32)
+        )
+        self.nloc = form.nloc
+        self.n_flat = form.n_flat
+
         self._residual_sharded = self._build_residual()
+        self._jacobians_sharded = self._build_jacobians()
+        self._apply_sharded = self._build_apply()
 
     def _build_residual(self):
         form = self.inner
@@ -126,18 +134,151 @@ class ShardedNSForm:
     def residual(self, u, p, aux, prm):
         return self._residual_sharded(u, p, aux, prm)
 
-    # Jacobian-side API: delegated to the serial form for now (evaluated
-    # identically on every device). The element-Jacobian build happens once
-    # per Newton iteration; sharding it (and the matvec gather/scatter)
-    # over the cell axis is the next distribution stage.
+    # ------------------------------------------------------------------
+    # Sharded Jacobian build + application: the element Jacobian blocks
+    # live SHARDED over the cell axis for their whole lifetime (built by
+    # jacfwd on each device's cell partition, consumed by the sharded
+    # matvec); only the assembled global vectors are psum-replicated.
+    # ------------------------------------------------------------------
+    def _build_jacobians(self):
+        form = self.inner
+        nbu = self.V.element.ndofs
+        dim = self.dim
+        fk = form._flat_cell_kernel()
+
+        def local(u, p, aux, dm_u, dm_p, cc, hh, prm):
+            xe = jnp.concatenate(
+                [u[dm_u].reshape(dm_u.shape[0], -1), p[dm_p]], axis=1
+            )
+            aux_e = tuple(a[dm_u] for a in aux)
+            return jax.vmap(
+                jax.jacfwd(fk), in_axes=(0, 0, 0, 0, None)
+            )(xe, aux_e, cc, hh, prm)
+
+        return shard_map(
+            local,
+            mesh=self.device_mesh,
+            in_specs=(
+                P(), P(), P(),
+                P("cells"), P("cells"), P("cells"), P("cells"), P(),
+            ),
+            out_specs=P("cells"),
+        )
+
     def element_jacobians(self, u, p, aux, prm):
-        return self.inner.element_jacobians(u, p, aux, prm)
+        A_cells = self._jacobians_sharded(
+            u, p, aux, self.dofmap_u, self.dofmap_p,
+            self.cell_coords, self.cell_h, prm,
+        )
+        # facet blocks are small; build replicated via the serial form
+        form = self.inner
+        A_blocks = []
+        for block in form._facet_blocks:
+            dm_u = block["dofmap_u"]
+            dm_p = block["dofmap_p"]
+            xef = jnp.concatenate(
+                [u[dm_u].reshape(dm_u.shape[0], -1), p[dm_p]], axis=1
+            )
+            aux_ef = tuple(a[dm_u] for a in aux)
+            ffk = form._flat_facet_kernel(block["kernel"])
+            A_f = jax.vmap(
+                jax.jacfwd(ffk), in_axes=(0, 0, 0, 0, None)
+            )(xef, aux_ef, block["coords"], block["tabs"], prm)
+            A_blocks.append((block["dofmap_flat"], A_f))
+        return A_cells, A_blocks
+
+    def _build_apply(self):
+        n_flat = self.n_flat
+        dtype = self.dtype
+
+        def local(A, dmf, mask, v):
+            ve = v[dmf]
+            ye = jnp.einsum("cab,cb->ca", A, ve) * mask[:, None]
+            y = jnp.zeros((n_flat,), dtype).at[dmf].add(ye)
+            return jax.lax.psum(y, "cells")
+
+        return shard_map(
+            local,
+            mesh=self.device_mesh,
+            in_specs=(P("cells"), P("cells"), P("cells"), P()),
+            out_specs=P(),
+        )
 
     def apply_element_matrices(self, A_cells, A_blocks, v_flat):
-        return self.inner.apply_element_matrices(A_cells, A_blocks, v_flat)
+        y = self._apply_sharded(
+            A_cells, self.dofmap_flat, self.cell_mask, v_flat
+        )
+        for dmf, A_f in A_blocks:
+            vf = v_flat[dmf]
+            yf = jnp.einsum("fab,fb->fa", A_f, vf)
+            y = y.at[dmf].add(yf)
+        return y
 
     def jacobian_diagonal(self, A_cells, A_blocks):
-        return self.inner.jacobian_diagonal(A_cells, A_blocks)
+        idx = jnp.arange(self.nloc)
+        diag_e = A_cells[:, idx, idx]
+        y = self._apply_diag(diag_e)
+        for dmf, A_f in A_blocks:
+            y = y.at[dmf].add(A_f[:, idx, idx])
+        return y
+
+    def _apply_diag(self, diag_e):
+        n_flat = self.n_flat
+        dtype = self.dtype
+
+        def local(d, dmf, mask):
+            y = jnp.zeros((n_flat,), dtype).at[dmf].add(
+                d * mask[:, None]
+            )
+            return jax.lax.psum(y, "cells")
+
+        return shard_map(
+            local,
+            mesh=self.device_mesh,
+            in_specs=(P("cells"), P("cells"), P("cells")),
+            out_specs=P(),
+        )(diag_e, self.dofmap_flat, self.cell_mask)
+
+    def apply_sub_block(self, A_cells, A_blocks, v, which: str):
+        form = self.inner
+        nud = self.V.element.ndofs * self.dim
+        row_u = which[0] == "u"
+        col_u = which[1] == "u"
+        rs = slice(0, nud) if row_u else slice(nud, self.nloc)
+        cs = slice(0, nud) if col_u else slice(nud, self.nloc)
+        n_u_flat = form.n_u_flat
+        n_out = n_u_flat if row_u else self.Q.num_dofs
+        dtype = self.dtype
+
+        dm_col = (
+            self.dofmap_flat[:, cs]
+            if col_u else self.dofmap_flat[:, cs] - n_u_flat
+        )
+        dm_row = (
+            self.dofmap_flat[:, rs]
+            if row_u else self.dofmap_flat[:, rs] - n_u_flat
+        )
+
+        def local(A, dmc, dmr, mask, v):
+            ve = v[dmc]
+            ye = jnp.einsum("cab,cb->ca", A[:, rs, cs], ve)                 * mask[:, None]
+            y = jnp.zeros((n_out,), dtype).at[dmr].add(ye)
+            return jax.lax.psum(y, "cells")
+
+        y = shard_map(
+            local,
+            mesh=self.device_mesh,
+            in_specs=(P("cells"), P("cells"), P("cells"), P("cells"),
+                      P()),
+            out_specs=P(),
+        )(A_cells, dm_col, dm_row, self.cell_mask, v)
+        for dmf, A_f in A_blocks:
+            dmf_col = dmf[:, cs] if col_u else dmf[:, cs] - n_u_flat
+            dmf_row = dmf[:, rs] if row_u else dmf[:, rs] - n_u_flat
+            vf = v[dmf_col]
+            yf = jnp.einsum("fab,fb->fa", A_f[:, rs, cs], vf)
+            y = y.at[dmf_row].add(yf)
+        return y
 
     def facet_flux(self, u, name):
         return self.inner.facet_flux(u, name)
