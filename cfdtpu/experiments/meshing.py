@@ -67,6 +67,9 @@ def run_meshing(config_path, output_base, job_idx=None, mode="all") -> int:
         if gtype in ("stenosis2d", "stenosis_2d"):
             _mesh_stenosis2d(params, exp_dir)
             n_done += 1
+        elif gtype in ("tree2d", "full2d"):
+            _mesh_tree2d(params, exp_dir, with_stenosis=gtype == "full2d")
+            n_done += 1
         elif gtype in ("stenosis", "tree", "full"):
             print(
                 f"[SKIP] {exp_dir.name}: geometry_type '{gtype}' requires "
@@ -103,6 +106,67 @@ def _mesh_stenosis2d(params: dict, exp_dir: Path) -> None:
         outlet_marker=2,
         wall_marker=3,
     )
+    _save_mesh(mesh, exp_dir)
+
+
+def _mesh_tree2d(params: dict, exp_dir: Path, with_stenosis: bool) -> None:
+    """Native 2D artery+tree union meshing stage — the in-framework
+    counterpart of the reference's 3-stage VascuSynth -> CadQuery -> gmsh
+    pipeline (reference experiments/meshing.py, stages at :86-200): the
+    procedural VascularTree2D replaces VascuSynth, tree modifications
+    (vessel loss / hyperemia dilation / wall thickening, reference
+    tree_model.py:26-42) are applied to it, and the capsule-union Delaunay
+    mesher replaces the OCC boolean fusion. geometry_type "full2d" keeps
+    the stenosis bump; "tree2d" meshes a plain tapered artery + tree."""
+    import math
+
+    from ..geom.tree.tree_2d import VascularTree2D
+    from ..geom.tree_mesh2d import generate_stenosis_tree_mesh_2d
+
+    n_terminal = int(params.get("n_terminal", 8))
+    n_gen = max(1, int(round(math.log2(max(n_terminal, 2)))))
+    tree = VascularTree2D(
+        r_root=0.9 * float(params.get("radius_out", 1.2)),
+        n_generations=n_gen,
+        gamma=float(params.get("murray_exponent", 3.0)),
+    )
+    L = float(params.get("length", 138.0))
+    R_in = float(params.get("radius_in", 1.57))
+    tree.generate((L, R_in), direction=0.0)
+    hyper = bool(params.get("hyperemia", False))
+    tree.apply_modifications(
+        vessel_loss_factor=float(params.get("vessel_loss_factor", 0.0)),
+        hyperemia_factor=(
+            float(params.get("hyperemia_dilation_factor", 1.0))
+            if hyper else 1.0
+        ),
+        wall_severity=float(params.get("wall_thickening_severity", 0.0)),
+        wall_level_threshold=int(
+            params.get("thickening_level_threshold", 1)
+        ),
+    )
+    mesh = generate_stenosis_tree_mesh_2d(
+        L=L,
+        R_in=R_in,
+        R_out=float(params.get("radius_out", 1.2)),
+        res=params.get("artery_mesh_size_from_curvature", 0.5) or 0.5,
+        x_position_stenosis=float(params.get("stenosis_position", 30.0)),
+        severity=(
+            float(params.get("stenosis_severity", 0.5))
+            if with_stenosis else 0.0
+        ),
+        slope=float(params.get("stenosis_slope", 0.4)),
+        tree=tree,
+        inlet_marker=1,
+        outlet_marker=2,
+        wall_marker=3,
+    )
+    _save_mesh(mesh, exp_dir)
+
+
+def _save_mesh(mesh, exp_dir: Path) -> None:
+    import numpy as np
+
     np.savez(
         exp_dir / "mesh.npz",
         points=mesh.points,

@@ -54,6 +54,7 @@ class VascularTree2D:
         self.edges.append({
             "from": root_start, "to": root_end,
             "radius": self.r_root, "r_parent": self.r_root,
+            "generation": 0,
         })
         self._bifurcate(root_end, self.r_root, direction, generation=1)
         return self
@@ -88,6 +89,7 @@ class VascularTree2D:
             self.edges.append({
                 "from": parent_node, "to": child,
                 "radius": r_child, "r_parent": r_parent,
+                "generation": generation,
             })
             self._bifurcate(child, r_child, angle, generation + 1)
 
@@ -105,6 +107,48 @@ class VascularTree2D:
             for nid, ch in children_of.items()
             if len(ch) >= 2
         ]
+
+    def apply_modifications(
+        self,
+        vessel_loss_factor: float = 0.0,
+        hyperemia_factor: float = 1.0,
+        wall_severity: float = 0.0,
+        wall_level_threshold: int = 0,
+    ):
+        """Prune / dilate / thicken the generated tree — the 2D analogue
+        of VascularTree.apply_modifications (reference
+        src/geom/tree/tree_model.py:26-42): vessel rarefaction removes
+        the deepest terminal branches (parents losing both children
+        become terminals), hyperemia dilates every lumen radius by a
+        factor, wall thickening shrinks the lumen radius by (1 - s)
+        for generations at or past a depth threshold."""
+        if vessel_loss_factor > 0:
+            n_remove = int(round(vessel_loss_factor * len(self.terminals)))
+            for _ in range(n_remove):
+                if len(self.terminals) <= 1:
+                    break
+                gen_of = {e["to"]: e["generation"] for e in self.edges}
+                deepest = max(
+                    self.terminals, key=lambda n: gen_of.get(n, 0)
+                )
+                if gen_of.get(deepest, 0) == 0:
+                    break
+                parent = next(
+                    e["from"] for e in self.edges if e["to"] == deepest
+                )
+                self.edges = [e for e in self.edges if e["to"] != deepest]
+                self.nodes.pop(deepest, None)
+                self.terminals.remove(deepest)
+                if not any(e["from"] == parent for e in self.edges):
+                    self.terminals.append(parent)
+        if hyperemia_factor != 1.0:
+            for e in self.edges:
+                e["radius"] *= hyperemia_factor
+        if wall_severity > 0:
+            for e in self.edges:
+                if e["generation"] >= wall_level_threshold:
+                    e["radius"] *= (1.0 - wall_severity)
+        return self
 
     def poiseuille_resistance(self, mu: float) -> float:
         """Analytic 2D Poiseuille resistance of the whole tree
