@@ -134,3 +134,83 @@ def test_factory_bc_modes(tmp_path, config_file):
     sc2 = cls2("stabilized_schur", T=0.005, dt=0.0025)
     assert len(sc2.bcu) == 3  # walls + inlet + outlet-zero
     assert len(sc2.bcp) == 0
+
+
+def test_tree2d_modifications():
+    from cfdtpu.geom.tree.tree_2d import VascularTree2D
+
+    t = VascularTree2D(r_root=1.0, n_generations=3)
+    t.generate((0.0, 0.0))
+    n_term = len(t.terminals)
+    n_edges = len(t.edges)
+    radii0 = {id(e): e["radius"] for e in t.edges}
+
+    # pruning removes terminals; parents losing all children become
+    # terminals, so the tree stays well-formed
+    t.apply_modifications(vessel_loss_factor=0.5)
+    assert len(t.edges) < n_edges
+    assert all(
+        any(e["to"] == term for e in t.edges) for term in t.terminals
+    )
+
+    # dilation scales every radius
+    before = [e["radius"] for e in t.edges]
+    t.apply_modifications(hyperemia_factor=1.2)
+    assert np.allclose(
+        [e["radius"] for e in t.edges], np.asarray(before) * 1.2
+    )
+
+    # thickening shrinks only the deep generations
+    t2 = VascularTree2D(r_root=1.0, n_generations=3).generate((0.0, 0.0))
+    r_root_edge = [e for e in t2.edges if e["generation"] == 0][0]
+    r_deep = [e for e in t2.edges if e["generation"] >= 2]
+    r_deep_before = [e["radius"] for e in r_deep]
+    t2.apply_modifications(
+        wall_severity=0.4, wall_level_threshold=2
+    )
+    assert r_root_edge["radius"] == 1.0
+    assert np.allclose(
+        [e["radius"] for e in r_deep],
+        np.asarray(r_deep_before) * 0.6,
+    )
+
+
+TREE_CONFIG = """
+simulation_params:
+  solver: stabilized_schur
+  geometry_type: tree2d
+  T: 0.005
+  dt: 0.0025
+  mu: 3.5e-3
+  rho: 1.06e-3
+  p_inlet: 100.0
+  p_terminal: 0.0
+
+artery_params:
+  radius_in: 1.5
+  radius_out: 0.65
+  length: 20.0
+  artery_mesh_size_from_curvature: 0.35
+
+tree_params:
+  n_terminal: 4
+
+matrix:
+  geometry_type: [tree2d, full2d]
+"""
+
+
+def test_tree2d_meshing_stage(tmp_path):
+    cfg = tmp_path / "tree.yaml"
+    cfg.write_text(TREE_CONFIG)
+    out = tmp_path / "out"
+    assert run_meshing(str(cfg), str(out)) == 0
+    npz = sorted(out.glob("exp_*/mesh.npz"))
+    assert len(npz) == 2
+    for f in npz:
+        d = np.load(f, allow_pickle=True)
+        tags = d["facet_tags"]
+        # inlet=1 present, >= n_terminal outlet(2) facets, walls(3)
+        assert (tags == 1).sum() >= 2
+        assert (tags == 2).sum() >= 4
+        assert (tags == 3).sum() > 10
