@@ -31,6 +31,15 @@ class NewtonParams:
     ksp_maxiter: int = 1000
     ls_max_halvings: int = 6
     ls_alpha: float = 1e-4
+    # Eisenstat-Walker adaptive forcing (PETSc -snes_ksp_ew, used by the
+    # reference LSC family at src/solvers/stabilized_lsc.py:220-266):
+    # eta_k = gamma*(||F_k||/||F_{k-1}||)^alpha, safeguarded, so early
+    # Newton steps get loose linear solves and late ones tight.
+    ew: bool = False
+    ew_eta0: float = 0.1
+    ew_eta_max: float = 0.9
+    ew_gamma: float = 0.9
+    ew_alpha: float = 2.0
 
 
 def newton_solve(
@@ -70,24 +79,25 @@ def newton_solve(
     ftol = jnp.maximum(p.atol, p.rtol * f0norm)
 
     def cond(state):
-        x, f, fnorm, it, ksp_total, done, lsfail = state
+        x, f, fnorm, it, ksp_total, done, lsfail, eta = state
         return jnp.logical_and(jnp.logical_not(done), it < p.max_it)
 
     def body(state):
-        x, f, fnorm, it, ksp_total, done, lsfail = state
+        x, f, fnorm, it, ksp_total, done, lsfail, eta = state
 
         if make_operator is not None:
             matvec, M = make_operator(x)
         else:
             _, matvec = jax.linearize(F, x)
             M = make_precond(x) if make_precond is not None else None
+        ksp_rtol = eta if p.ew else p.ksp_rtol
         dx, info = fgmres(
             matvec,
             -f,
             precond=M,
             restart=p.ksp_restart,
             maxiter=p.ksp_maxiter,
-            rtol=p.ksp_rtol,
+            rtol=ksp_rtol,
             atol=p.ksp_atol,
         )
         if project is not None:
@@ -124,6 +134,15 @@ def newton_solve(
         converged = jnp.logical_or(
             nnew <= ftol, jnp.logical_and(step_small, nnew <= fnorm)
         )
+        # Eisenstat-Walker choice 2 with the safeguard eta >= g*eta_prev^a
+        # when that term is still large (Eisenstat & Walker 1996, eq. 2.6)
+        eta_cand = p.ew_gamma * (nnew / jnp.maximum(fnorm, 1e-300)) ** (
+            p.ew_alpha
+        )
+        guard = p.ew_gamma * eta ** p.ew_alpha
+        eta_cand = jnp.where(guard > 0.1, jnp.maximum(eta_cand, guard),
+                             eta_cand)
+        eta_new = jnp.clip(eta_cand, 1e-6, p.ew_eta_max).astype(eta.dtype)
         return (
             x_new,
             fnew,
@@ -132,6 +151,7 @@ def newton_solve(
             ksp_total + info["iters"],
             converged,
             lsfail + ls_failed.astype(jnp.int32),
+            eta_new,
         )
 
     init = (
@@ -142,8 +162,9 @@ def newton_solve(
         jnp.array(0),
         f0norm <= ftol,
         jnp.array(0, jnp.int32),
+        jnp.asarray(p.ew_eta0, f0norm.dtype),
     )
-    x, f, fnorm, iters, ksp_iters, done, lsfail = jax.lax.while_loop(
+    x, f, fnorm, iters, ksp_iters, done, lsfail, _eta = jax.lax.while_loop(
         cond, body, init
     )
     stats = {

@@ -21,10 +21,12 @@ from .stabilized_schur import Solver as BaseSolver
 
 
 class Solver(BaseSolver):
-    def __init__(self, *args, snes_rtol=None, pc_type="schur", **kwargs):
+    def __init__(self, *args, snes_rtol=None, pc_type="schur",
+                 snes_ksp_ew=True, **kwargs):
         super().__init__(
             *args,
             snes_rtol=1e-4 if snes_rtol is None else snes_rtol,
             pc_type=pc_type,
+            snes_ksp_ew=snes_ksp_ew,
             **kwargs,
         )

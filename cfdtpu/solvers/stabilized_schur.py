@@ -66,6 +66,7 @@ class Solver(SolverBase):
         pc_inner_u: int = 6,
         pc_inner_p: int = 30,
         pc_schur_fact: str = "full",
+        snes_ksp_ew: bool = False,
         **kwargs,
     ):
         self.pc_type = pc_type
@@ -99,6 +100,7 @@ class Solver(SolverBase):
             ksp_rtol=float(ksp_rtol),
             ksp_restart=int(ksp_restart),
             ksp_maxiter=int(ksp_max_it),
+            ew=bool(snes_ksp_ew),
         )
         self.last_stats: dict = {}
         self.step_count = 0
