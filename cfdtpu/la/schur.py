@@ -36,6 +36,7 @@ def make_schur_precond(
     m_p: int = 10,
     full: bool = True,
     bc_mask_p=None,
+    inner_method: str = "gmres",
 ):
     """Build v -> M v approximating J^{-1} v.
 
@@ -92,20 +93,48 @@ def make_schur_precond(
             y = y - jnp.mean(y)
         return y
 
-    def solve_Auu(r):
-        # single-orthogonalization sweeps: the PC only needs an
-        # approximate inverse; halves the non-matvec cost per iteration
-        return gmres_fixed(Auu, r, precond=lambda v: v / d_u, m=m_u,
-                           reorth=False)
+    # inner_method: "gmres" (both blocks), "chebyshev" (both), or
+    # "chebyshev_p" (GMRES on the convective u-block, reduction-free
+    # Chebyshev on the near-SPD SELFP Schur block — see la/chebyshev.py)
+    cheb_u = inner_method == "chebyshev"
+    cheb_p = inner_method in ("chebyshev", "chebyshev_p")
 
-    def solve_S(r):
-        if pin_pressure:
-            r = r - jnp.mean(r)
-        z = gmres_fixed(S, r, precond=lambda v: v / d_p, m=m_p,
-                        reorth=False)
-        if pin_pressure:
-            z = z - jnp.mean(z)
-        return z
+    if cheb_u:
+        from .chebyshev import chebyshev_fixed, estimate_lambda_max
+
+        lam_u = estimate_lambda_max(Auu, inv_d_u, n_u_flat, d_u.dtype)
+
+        def solve_Auu(r):
+            return chebyshev_fixed(Auu, r, inv_d_u, lam_u, m=m_u)
+    else:
+        def solve_Auu(r):
+            # single-orthogonalization sweeps: the PC only needs an
+            # approximate inverse; halves the non-matvec cost/iteration
+            return gmres_fixed(Auu, r, precond=lambda v: v / d_u, m=m_u,
+                               reorth=False)
+
+    if cheb_p:
+        from .chebyshev import chebyshev_fixed, estimate_lambda_max
+
+        inv_d_p = 1.0 / d_p
+        lam_p = estimate_lambda_max(S, inv_d_p, d_p.shape[0], d_p.dtype)
+
+        def solve_S(r):
+            if pin_pressure:
+                r = r - jnp.mean(r)
+            z = chebyshev_fixed(S, r, inv_d_p, lam_p, m=m_p)
+            if pin_pressure:
+                z = z - jnp.mean(z)
+            return z
+    else:
+        def solve_S(r):
+            if pin_pressure:
+                r = r - jnp.mean(r)
+            z = gmres_fixed(S, r, precond=lambda v: v / d_p, m=m_p,
+                            reorth=False)
+            if pin_pressure:
+                z = z - jnp.mean(z)
+            return z
 
     def precond(v):
         r_u, r_p = v[:n_u_flat], v[n_u_flat:]

@@ -66,6 +66,7 @@ class Solver(SolverBase):
         pc_inner_u: int = 6,
         pc_inner_p: int = 30,
         pc_schur_fact: str = "full",
+        pc_inner_method: str = "gmres",
         snes_ksp_ew: bool = False,
         **kwargs,
     ):
@@ -73,6 +74,7 @@ class Solver(SolverBase):
         self.pc_inner_u = int(pc_inner_u)
         self.pc_inner_p = int(pc_inner_p)
         self.pc_schur_fact = pc_schur_fact
+        self.pc_inner_method = pc_inner_method
         self._pcd_bc_mask = None  # set by PCD solvers (outlet p dofs)
         super().__init__(mesh, dt, rho, mu, f, initial_velocity)
         from ..utils.dtypes import default_tolerances
@@ -224,6 +226,7 @@ class Solver(SolverBase):
                         m_u=pc_inner_u, m_p=pc_inner_p,
                         bc_mask_p=bc_mask_p,
                         full=self.pc_schur_fact == "full",
+                        inner_method=self.pc_inner_method,
                     )
                     return matvec, precond
                 if pc_type == "lsc":
