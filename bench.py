@@ -80,9 +80,28 @@ def _bench_spmv(reps: int):
         lambda u, p: form.element_jacobians(u, p, (u,), prm)
     )(s.u_prev, s.p_prev)
     v = jnp.ones((form.n_flat,), form.dtype)
-    mv = jax.jit(
-        lambda v: form.apply_element_matrices(A_cells, A_blocks, v)
-    )
+    itemsize = np.dtype(form.dtype).itemsize
+    fmt = os.environ.get("BENCH_SPMV_FORMAT", "node_bsr")
+    if fmt == "node_bsr":
+        # production matvec: assembled node-block BSR (la/nodebsr.py)
+        from cfdtpu.la.nodebsr import NodeBSR
+
+        bsr = NodeBSR(form)
+        vals = jax.jit(bsr.assemble)(A_cells, A_blocks)
+        mv = jax.jit(lambda v: bsr.apply_element_matrices(vals, (), v))
+        nbytes = vals.size * itemsize          # block values (dominant)
+        nbytes += 2 * bsr.n_blocks * 4         # block row/col indices
+        nbytes += 3 * bsr.n_blocks * bsr.bs * itemsize  # gather/out
+        label = f"spmv_bsr_{bsr.n_blocks}blk"
+    else:
+        mv = jax.jit(
+            lambda v: form.apply_element_matrices(A_cells, A_blocks, v)
+        )
+        nc = form.mesh.num_cells
+        nloc = form.nloc
+        nbytes = nc * nloc * nloc * itemsize  # A stream (dominant)
+        nbytes += 3 * nc * nloc * itemsize    # gather-in, out, scatter
+        label = f"spmv_{nc}cells"
     y = mv(v)
     y.block_until_ready()
     reps = max(reps, 20)
@@ -91,12 +110,7 @@ def _bench_spmv(reps: int):
         y = mv(y / jnp.linalg.norm(y))
     y.block_until_ready()
     elapsed = (time.perf_counter() - t0) / reps
-    nc = form.mesh.num_cells
-    nloc = form.nloc
-    itemsize = np.dtype(form.dtype).itemsize
-    nbytes = nc * nloc * nloc * itemsize  # A stream (dominant)
-    nbytes += 3 * nc * nloc * itemsize    # gather-in, local-out, scatter
-    return f"spmv_{nc}cells", nbytes / elapsed / 1e9, "GB/s"
+    return label, nbytes / elapsed / 1e9, "GB/s"
 
 
 def main():

@@ -67,6 +67,7 @@ class Solver(SolverBase):
         pc_inner_p: int = 30,
         pc_schur_fact: str = "full",
         pc_inner_method: str = "gmres",
+        operator_format: str = "node_bsr",
         snes_ksp_ew: bool = False,
         **kwargs,
     ):
@@ -75,6 +76,7 @@ class Solver(SolverBase):
         self.pc_inner_p = int(pc_inner_p)
         self.pc_schur_fact = pc_schur_fact
         self.pc_inner_method = pc_inner_method
+        self.operator_format = operator_format
         self._pcd_bc_mask = None  # set by PCD solvers (outlet p dofs)
         super().__init__(mesh, dt, rho, mu, f, initial_velocity)
         from ..utils.dtypes import default_tolerances
@@ -193,6 +195,24 @@ class Solver(SolverBase):
         pc_type = self.pc_type
         pc_inner_u, pc_inner_p = self.pc_inner_u, self.pc_inner_p
 
+        # assembled node-BSR operator: less HBM traffic per matvec and
+        # per PC sub-block apply than element blocks (la/nodebsr.py);
+        # element path remains for sharded forms, PCD (needs the form's
+        # pressure-space operators) and non-equal-order variants
+        nodebsr = None
+        if (
+            self.operator_format == "node_bsr"
+            and self.n_shards is None
+            and pc_type in ("schur", "jacobi")
+        ):
+            from ..la.nodebsr import NodeBSR
+
+            try:
+                nodebsr = NodeBSR(form)
+            except ValueError:
+                nodebsr = None  # non-equal-order spaces: element path
+        self._nodebsr = nodebsr
+
         def step(u_guess, p_guess, aux, bc_u_vals, bc_p_vals, prm):
             def F(x):
                 u, p = unravel(x)
@@ -208,9 +228,17 @@ class Solver(SolverBase):
             def make_operator(x):
                 u, p = unravel(x)
                 A_cells, A_blocks = form.element_jacobians(u, p, aux, prm)
+                if nodebsr is not None:
+                    # assemble once per Newton iteration; the Krylov loop
+                    # then streams the deduplicated block values
+                    ops = nodebsr
+                    A_cells = nodebsr.assemble(A_cells, A_blocks)
+                    A_blocks = ()
+                else:
+                    ops = form
 
                 def matvec(v):
-                    y = form.apply_element_matrices(A_cells, A_blocks, v)
+                    y = ops.apply_element_matrices(A_cells, A_blocks, v)
                     y = jnp.where(bc_mask, v, y)
                     if pin_pressure:
                         du, dp = unravel(y)
@@ -221,7 +249,7 @@ class Solver(SolverBase):
                     from ..la.schur import make_schur_precond
 
                     precond = make_schur_precond(
-                        form, A_cells, A_blocks, bc_mask_u,
+                        ops, A_cells, A_blocks, bc_mask_u,
                         pin_pressure and not has_bc_p,
                         m_u=pc_inner_u, m_p=pc_inner_p,
                         bc_mask_p=bc_mask_p,
@@ -258,7 +286,7 @@ class Solver(SolverBase):
                     )
                     return matvec, precond
 
-                d = form.jacobian_diagonal(A_cells, A_blocks)
+                d = ops.jacobian_diagonal(A_cells, A_blocks)
                 d = jnp.where(bc_mask, 1.0, d)
                 scale = jnp.max(jnp.abs(d))
                 floor = 1e-12 * scale

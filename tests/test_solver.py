@@ -96,3 +96,50 @@ def test_simulation_validation():
     with pytest.raises(ValueError):
         Simulation(name="x", simulation="lid_driven2D",
                    solver="stabilized_schur", T=0.01, dt=0.1)
+
+
+def test_nodebsr_matches_element_operator():
+    """Assembled node-BSR operator (la/nodebsr.py) must agree with the
+    element-block operator to machine precision, including facet terms."""
+    import jax.numpy as jnp
+
+    from cfdtpu.forms import StabilizedNSForm
+    from cfdtpu.forms.facet_terms import weak_pressure
+    from cfdtpu.la.nodebsr import NodeBSR
+    from cfdtpu.mesh import create_unit_square
+    from cfdtpu.spaces import FunctionSpace
+
+    mesh = create_unit_square(6, 6)
+    V = FunctionSpace(mesh, 1, 2)
+    Q = FunctionSpace(mesh, 1)
+    form = StabilizedNSForm(V, Q)
+    tags = np.arange(len(mesh.facets), dtype=np.int32)
+    form.add_facet_term("weak_pressure", tags[:8], weak_pressure("p_in", 1.0))
+    bsr = NodeBSR(form)
+
+    rng = np.random.RandomState(3)
+    u = jnp.asarray(rng.randn(V.num_dofs, 2))
+    p = jnp.asarray(rng.randn(Q.num_dofs))
+    prm = {
+        "dt": jnp.asarray(0.01), "rho": jnp.asarray(1.0),
+        "mu": jnp.asarray(0.01), "f": jnp.zeros(2),
+        "p_in": jnp.asarray(2.0),
+    }
+    A, B = form.element_jacobians(u, p, (u,), prm)
+    vals = bsr.assemble(A, B)
+    v = jnp.asarray(rng.randn(form.n_flat))
+    assert np.allclose(
+        form.apply_element_matrices(A, B, v),
+        bsr.apply_element_matrices(vals, (), v), atol=1e-13,
+    )
+    assert np.allclose(
+        form.jacobian_diagonal(A, B),
+        bsr.jacobian_diagonal(vals, ()), atol=1e-13,
+    )
+    for w in ("uu", "up", "pu", "pp"):
+        nin = form.n_u_flat if w[1] == "u" else Q.num_dofs
+        vv = v[:nin]
+        assert np.allclose(
+            form.apply_sub_block(A, B, vv, w),
+            bsr.apply_sub_block(vals, (), vv, w), atol=1e-13,
+        ), w
