@@ -1,0 +1,187 @@
+"""Aggregation multigrid for the pressure Schur stage.
+
+The reference's pressure-block inner PCs are ASM/ILU/AMG under PETSc
+(hypre BoomerAMG at /root/reference/src/solvers/ipcs_midpoint.py:102-110
+and stabilized_pcd.py:268-276; ASM at stabilized_schur.py:261-264).
+Jacobi-preconditioned inner sweeps (la/schur.py) are not h-robust: the
+outer iteration count grows with refinement, which is what caps the
+1M-DOF throughput target (PERF.md). This module is the TPU-native AMG
+substitute: plain (unsmoothed) aggregation on the pressure node graph
+with piecewise-constant transfer, Galerkin coarse operators via sorted
+segment-sums, weighted-Jacobi smoothing, and a dense coarsest solve.
+
+Everything structural (aggregates, coarse sparsity, Galerkin entry maps)
+is built once in numpy from the static node-BSR block graph
+(la/nodebsr.py); per-Newton-iteration value coarsening and the V-cycle
+itself are jit-compiled index arithmetic (segment_sum / gather), which
+is exactly the shape TPUs execute well.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import ops as jox
+
+
+def build_aggregates(row, col, n: int) -> np.ndarray:
+    """Greedy root-based aggregation over the graph (row, col) -> agg id
+    per node. Roots are chosen as unaggregated nodes whose neighbours are
+    unaggregated; each root swallows its neighbourhood; leftovers join an
+    adjacent aggregate."""
+    order = np.argsort(row, kind="stable")
+    row_s, col_s = row[order], col[order]
+    ptr = np.searchsorted(row_s, np.arange(n + 1))
+    agg = -np.ones(n, dtype=np.int64)
+    n_agg = 0
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = col_s[ptr[i]:ptr[i + 1]]
+        if (agg[nbrs] >= 0).any() and len(nbrs) > 1:
+            continue  # near an aggregate: leave for phase 2
+        agg[i] = n_agg
+        agg[nbrs] = n_agg
+        n_agg += 1
+    for i in range(n):  # phase 2: attach leftovers to a neighbour's agg
+        if agg[i] >= 0:
+            continue
+        nbrs = col_s[ptr[i]:ptr[i + 1]]
+        owned = nbrs[agg[nbrs] >= 0]
+        if len(owned):
+            agg[i] = agg[owned[0]]
+        else:
+            agg[i] = n_agg
+            n_agg += 1
+    return agg
+
+
+class AMGLevel:
+    __slots__ = ("agg", "n_coarse", "entry_map", "entry_order",
+                 "row", "col", "diag_pos", "n", "_coarse_coo")
+
+    def __init__(self, row, col, n):
+        self.row, self.col, self.n = row, col, n
+        agg = build_aggregates(row, col, n)
+        self.n_coarse = int(agg.max()) + 1
+        self.agg = jnp.asarray(agg.astype(np.int32))
+        # Galerkin P0^T A P0: fine entry (i, j) accumulates into coarse
+        # entry (agg i, agg j); precompute the coarse COO + sorted map
+        ckeys = agg[row].astype(np.int64) * self.n_coarse + agg[col]
+        cuniq, cinv = np.unique(ckeys, return_inverse=True)
+        order = np.argsort(cinv, kind="stable")
+        self.entry_order = jnp.asarray(order.astype(np.int32))
+        self.entry_map = jnp.asarray(cinv[order].astype(np.int32))
+        crow = (cuniq // self.n_coarse).astype(np.int32)
+        ccol = (cuniq % self.n_coarse).astype(np.int32)
+        self._coarse_coo = (crow, ccol)
+        dpos = np.searchsorted(
+            cuniq,
+            np.arange(self.n_coarse, dtype=np.int64) * self.n_coarse
+            + np.arange(self.n_coarse),
+        )
+        self.diag_pos = jnp.asarray(dpos.astype(np.int32))
+
+    @property
+    def coarse_coo(self):
+        return self._coarse_coo
+
+    def coarsen_vals(self, vals):
+        v = vals[self.entry_order]
+        return jox.segment_sum(
+            v, self.entry_map,
+            num_segments=self._coarse_coo[0].shape[0],
+            indices_are_sorted=True,
+        )
+
+
+class AMG:
+    """Multilevel hierarchy on a scalar COO operator (sorted by row).
+
+    build(vals) -> per-level values (jittable); v_cycle(levels, r) -> z.
+    """
+
+    def __init__(self, row: np.ndarray, col: np.ndarray, n: int,
+                 coarse_size: int = 300, max_levels: int = 6,
+                 omega: float = 0.67, n_smooth: int = 2):
+        self.omega = omega
+        self.n_smooth = n_smooth
+        self.levels: list[AMGLevel] = []
+        self.coo = []  # (row, col, n) per level, jnp row/col
+        r, c, m = row, col, n
+        for _ in range(max_levels):
+            self.coo.append((jnp.asarray(r.astype(np.int32)),
+                             jnp.asarray(c.astype(np.int32)), m))
+            if m <= coarse_size:
+                break
+            lvl = AMGLevel(r, c, m)
+            if lvl.n_coarse >= m:  # no coarsening progress
+                break
+            self.levels.append(lvl)
+            r, c = lvl.coarse_coo
+            r, c = np.asarray(r), np.asarray(c)
+            m = lvl.n_coarse
+        self.n_coarsest = self.coo[len(self.levels)][2]
+
+    # -- per-PC-build value pass (jittable) -----------------------------
+    def build(self, vals):
+        """Galerkin-coarsen the values, precompute the l1 smoothing
+        diagonals and the LU factorization of the coarsest level; the
+        returned pytree is everything v_cycle touches per application."""
+        from jax.scipy.linalg import lu_factor
+
+        out = []
+        for k, lvl in enumerate(self.levels):
+            out.append((vals, self._l1_diag(k, vals)))
+            vals = lvl.coarsen_vals(vals)
+        row, col, m = self.coo[len(self.levels)]
+        A = jnp.zeros((m, m), vals.dtype).at[row, col].set(vals)
+        A = A + 1e-12 * jnp.max(jnp.abs(vals)) * jnp.eye(m, dtype=vals.dtype)
+        return out, lu_factor(A)
+
+    def _matvec(self, k, vals, x):
+        row, col, m = self.coo[k]
+        return jox.segment_sum(
+            vals * x[col], row, num_segments=m, indices_are_sorted=True
+        )
+
+    def _l1_diag(self, k, vals):
+        """l1-Jacobi smoothing diagonal d_i = sum_j |A_ij|: a convergent
+        smoother for SPD operators and robust under the mild asymmetry
+        of the SELFP Schur matrix (plain diag-Jacobi measured
+        rho = 1.54 on DFG — divergent)."""
+        row, col, m = self.coo[k]
+        d = jox.segment_sum(
+            jnp.abs(vals), row, num_segments=m, indices_are_sorted=True
+        )
+        return jnp.maximum(d, 1e-30)
+
+    def v_cycle(self, built, b, diag0=None):
+        """One V(n_smooth, n_smooth) cycle for A x = b, x0 = 0.
+        `built` is the (levels, coarse_lu) pytree from build()."""
+        from jax.scipy.linalg import lu_solve
+
+        level_vals, coarse_lu = built
+        nl = len(self.levels)
+
+        def smooth(k, vals, d, x, b, iters):
+            for _ in range(iters):
+                r = b - self._matvec(k, vals, x)
+                x = x + self.omega * r / d
+            return x
+
+        def descend(k, b):
+            if k == nl:
+                return lu_solve(coarse_lu, b)
+            vals, d = level_vals[k]
+            x = smooth(k, vals, d, jnp.zeros_like(b), b, self.n_smooth)
+            r = b - self._matvec(k, vals, x)
+            rc = jox.segment_sum(
+                r, self.levels[k].agg,
+                num_segments=self.levels[k].n_coarse,
+            )
+            xc = descend(k + 1, rc)
+            x = x + xc[self.levels[k].agg]
+            return smooth(k, vals, d, x, b, self.n_smooth)
+
+        return descend(0, b)

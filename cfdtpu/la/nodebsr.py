@@ -86,6 +86,7 @@ class NodeBSR:
         diag_pos = np.searchsorted(uniq, np.arange(n_nodes, dtype=np.int64)
                                    * n_nodes + np.arange(n_nodes))
         self._diag_pos = jnp.asarray(diag_pos.astype(np.int32))
+        self._pp_amg = None
 
     # -- assembly (runs per Newton iteration, jittable) -----------------
     def assemble(self, A_cells, A_blocks):
@@ -147,6 +148,115 @@ class NodeBSR:
             indices_are_sorted=True,
         )
         return yn.reshape(-1) if which[0] == "u" else yn[:, 0]
+
+    # -- explicit SELFP Schur matrix -------------------------------------
+    def sp_structure(self):
+        """Static structure of Sp = App - Apu diag(Auu)^-1 Aup — the
+        matrix PETSc's SchurPreType.SELFP assembles (reference
+        stabilized_schur.py:234-235). The product term couples node
+        pairs sharing a middle node (distance-2 graph); all index maps
+        are precomputed here once.
+
+        Returns (sp_row, sp_col, n_sp) jnp arrays; caches everything
+        needed by sp_vals()."""
+        if getattr(self, "_sp", None) is not None:
+            return self._sp
+        row = np.asarray(self.block_row, dtype=np.int64)
+        col = np.asarray(self.block_col, dtype=np.int64)
+        n = self.n_nodes
+        ne = len(row)
+        # group entry ids by middle node: e1 by col (I--K), e2 by row (K--J)
+        by_col = np.argsort(col, kind="stable")
+        col_s = col[by_col]
+        cptr = np.searchsorted(col_s, np.arange(n + 1))
+        rptr = np.searchsorted(row, np.arange(n + 1))  # row already sorted
+        e1_list, e2_list = [], []
+        for K in range(n):
+            a = by_col[cptr[K]:cptr[K + 1]]
+            b = np.arange(rptr[K], rptr[K + 1])
+            if len(a) == 0 or len(b) == 0:
+                continue
+            e1_list.append(np.repeat(a, len(b)))
+            e2_list.append(np.tile(b, len(a)))
+        e1 = np.concatenate(e1_list)
+        e2 = np.concatenate(e2_list)
+        prod_keys = row[e1] * n + col[e2]
+        app_keys = row * n + col
+        uniq = np.unique(np.concatenate([prod_keys, app_keys]))
+        n_sp = len(uniq)
+        pk = np.searchsorted(uniq, prod_keys)
+        order = np.argsort(pk, kind="stable")
+        self._sp_e1 = jnp.asarray(e1[order].astype(np.int32))
+        self._sp_e2 = jnp.asarray(e2[order].astype(np.int32))
+        self._sp_K = jnp.asarray(col[e1][order].astype(np.int32))
+        self._sp_prod_ids = jnp.asarray(pk[order].astype(np.int32))
+        self._sp_app_pos = jnp.asarray(
+            np.searchsorted(uniq, app_keys).astype(np.int32)
+        )
+        sp_row = jnp.asarray((uniq // n).astype(np.int32))
+        sp_col = jnp.asarray((uniq % n).astype(np.int32))
+        self._sp_diag_pos = jnp.asarray(
+            np.searchsorted(
+                uniq, np.arange(n, dtype=np.int64) * n + np.arange(n)
+            ).astype(np.int32)
+        )
+        self._sp = (sp_row, sp_col, n_sp)
+        return self._sp
+
+    def sp_vals(self, vals, inv_duu_flat=None):
+        """Assemble the explicit SELFP values on sp_structure()
+        (jittable; runs once per preconditioner build).
+
+        inv_duu_flat: optional (n_u_flat,) inverse velocity diagonal,
+        ZERO at Dirichlet rows — this makes Sp match the matrix-free S
+        of make_schur_precond exactly (there the Aup rows at velocity
+        BCs are masked to zero). Without it the raw diagonal is used.
+        """
+        sp_row, sp_col, n_sp = self.sp_structure()
+        d = self.dim
+        if inv_duu_flat is None:
+            diag_uu = vals[self._diag_pos][:, :d, :d]
+            idx = jnp.arange(d)
+            inv_duu = 1.0 / diag_uu[:, idx, idx]  # (n_nodes, d)
+        else:
+            inv_duu = inv_duu_flat.reshape(self.n_nodes, d)
+        apu = vals[self._sp_e1][:, d, :d]     # (nt, d) block (I,K) pu
+        aup = vals[self._sp_e2][:, :d, d]     # (nt, d) block (K,J) up
+        contrib = -jnp.sum(apu * inv_duu[self._sp_K] * aup, axis=1)
+        sp = jox.segment_sum(
+            contrib, self._sp_prod_ids, num_segments=n_sp,
+            indices_are_sorted=True,
+        )
+        return sp.at[self._sp_app_pos].add(vals[:, d, d])
+
+    def sp_amg(self):
+        """Aggregation-MG hierarchy on the explicit SELFP graph."""
+        if getattr(self, "_sp_amg_h", None) is None:
+            from .amg import AMG
+
+            sp_row, sp_col, _ = self.sp_structure()
+            self._sp_amg_h = AMG(
+                np.asarray(sp_row), np.asarray(sp_col), self.n_nodes
+            )
+        return self._sp_amg_h
+
+    # -- pressure-block AMG hooks (see la/amg.py) ------------------------
+    def pp_vals(self, vals):
+        """The assembled A_pp scalar COO values (row-sorted, aligned
+        with block_row/block_col)."""
+        return vals[:, self.dim, self.dim]
+
+    def pp_amg(self):
+        """Aggregation-MG hierarchy on the pressure node graph (static
+        structure, built once and cached)."""
+        if self._pp_amg is None:
+            from .amg import AMG
+
+            self._pp_amg = AMG(
+                np.asarray(self.block_row), np.asarray(self.block_col),
+                self.n_nodes,
+            )
+        return self._pp_amg
 
     def jacobian_diagonal(self, vals, _A_blocks):
         db = vals[self._diag_pos]  # (n_nodes, bs, bs)

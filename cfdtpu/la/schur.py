@@ -113,7 +113,39 @@ def make_schur_precond(
             return gmres_fixed(Auu, r, precond=lambda v: v / d_u, m=m_u,
                                reorth=False)
 
-    if cheb_p:
+    if inner_method == "amg_p" and hasattr(form, "sp_amg"):
+        # aggregation-MG V-cycle on the EXPLICIT SELFP matrix
+        # Sp = App - Apu diag(Auu)^-1 Aup as the inner PC of the S
+        # sweeps (la/amg.py, la/nodebsr.py sp_vals) — the h-robust
+        # substitute for the reference's AMG/ASM pressure sub-PCs. AMG
+        # on App alone fails here: in stabilized P1-P1 the pressure
+        # Laplacian lives in the product term, App is only the small
+        # tau-scaled PSPG block (measured: 380 vs 22 outer iterations).
+        amg = form.sp_amg()
+        sp = form.sp_vals(
+            A_cells, jnp.where(bc_mask_u, 0.0, 1.0 / d_u)
+        )
+        if bc_mask_p is not None:
+            # identity rows at pressure-Dirichlet dofs, matching the
+            # matrix-free S
+            sp_row = form.sp_structure()[0]
+            sp = jnp.where(bc_mask_p[sp_row], 0.0, sp)
+            sp = sp.at[form._sp_diag_pos].set(
+                jnp.where(bc_mask_p, 1.0, sp[form._sp_diag_pos])
+            )
+        level_vals = amg.build(sp)
+
+        def Mp_vcycle(v):
+            return amg.v_cycle(level_vals, v)
+
+        def solve_S(r):
+            if pin_pressure:
+                r = r - jnp.mean(r)
+            z = gmres_fixed(S, r, precond=Mp_vcycle, m=m_p, reorth=False)
+            if pin_pressure:
+                z = z - jnp.mean(z)
+            return z
+    elif cheb_p:
         from .chebyshev import chebyshev_fixed, estimate_lambda_max
 
         inv_d_p = 1.0 / d_p

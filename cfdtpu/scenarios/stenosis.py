@@ -69,9 +69,11 @@ class StenosisSimulation(Scenario):
             k: kwargs.pop(k)
             for k in list(kwargs)
             if k in (
-                "pc_type", "pc_inner_u", "pc_inner_p", "ksp_restart",
-                "ksp_rtol", "snes_rtol", "snes_max_it", "output_every",
-                "early_stop_tolerance", "n_shards", "quad_degree",
+                "pc_type", "pc_inner_u", "pc_inner_p", "pc_inner_method",
+                "pc_schur_fact", "operator_format", "snes_ksp_ew",
+                "ksp_restart", "ksp_rtol", "snes_rtol", "snes_max_it",
+                "output_every", "early_stop_tolerance", "n_shards",
+                "quad_degree",
             )
         }
         self.mesh_options = kwargs.copy()

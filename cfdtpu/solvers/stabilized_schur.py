@@ -64,16 +64,18 @@ class Solver(SolverBase):
         n_shards: int | None = None,
         pc_type: str = "schur",
         pc_inner_u: int = 6,
-        pc_inner_p: int = 30,
+        pc_inner_p: int | None = None,
         pc_schur_fact: str = "full",
-        pc_inner_method: str = "gmres",
+        pc_inner_method: str = "amg_p",
         operator_format: str = "node_bsr",
         snes_ksp_ew: bool = False,
         **kwargs,
     ):
         self.pc_type = pc_type
         self.pc_inner_u = int(pc_inner_u)
-        self.pc_inner_p = int(pc_inner_p)
+        # S-sweep length: the AMG-preconditioned sweeps need far fewer
+        # iterations than the Jacobi ones (measured 10 vs 30 optimal)
+        self.pc_inner_p = None if pc_inner_p is None else int(pc_inner_p)
         self.pc_schur_fact = pc_schur_fact
         self.pc_inner_method = pc_inner_method
         self.operator_format = operator_format
@@ -193,7 +195,7 @@ class Solver(SolverBase):
             jnp.asarray(bc_mask_np[n_u * dim:]) if has_bc_p else None
         )
         pc_type = self.pc_type
-        pc_inner_u, pc_inner_p = self.pc_inner_u, self.pc_inner_p
+        pc_inner_u = self.pc_inner_u
 
         # assembled node-BSR operator: less HBM traffic per matvec and
         # per PC sub-block apply than element blocks (la/nodebsr.py);
@@ -211,7 +213,20 @@ class Solver(SolverBase):
                 nodebsr = NodeBSR(form)
             except ValueError:
                 nodebsr = None  # non-equal-order spaces: element path
+            if nodebsr is not None and self.pc_inner_method == "amg_p":
+                # static SELFP sparsity + MG hierarchy must be built
+                # eagerly (numpy) — inside jit they would trace
+                nodebsr.sp_structure()
+                nodebsr.sp_amg()
         self._nodebsr = nodebsr
+        amg_active = (
+            nodebsr is not None and self.pc_inner_method == "amg_p"
+        )
+        pc_inner_p = (
+            self.pc_inner_p
+            if self.pc_inner_p is not None
+            else (10 if amg_active else 30)
+        )
 
         def step(u_guess, p_guess, aux, bc_u_vals, bc_p_vals, prm):
             def F(x):

@@ -143,3 +143,69 @@ def test_nodebsr_matches_element_operator():
             form.apply_sub_block(A, B, vv, w),
             bsr.apply_sub_block(vals, (), vv, w), atol=1e-13,
         ), w
+
+
+def test_amg_selfp_vcycle_contracts():
+    """The aggregation-MG V-cycle on the explicit SELFP matrix must be a
+    contraction (la/amg.py); plain Jacobi smoothing diverges there."""
+    import jax
+    import jax.numpy as jnp
+    from jax import ops as jox
+
+    from cfdtpu.forms import StabilizedNSForm
+    from cfdtpu.la.nodebsr import NodeBSR
+    from cfdtpu.mesh import create_unit_square
+    from cfdtpu.spaces import FunctionSpace
+
+    mesh = create_unit_square(16, 16)
+    V = FunctionSpace(mesh, 1, 2)
+    Q = FunctionSpace(mesh, 1)
+    form = StabilizedNSForm(V, Q)
+    bsr = NodeBSR(form)
+    prm = {
+        "dt": jnp.asarray(0.01), "rho": jnp.asarray(1.0),
+        "mu": jnp.asarray(0.01), "f": jnp.zeros(2),
+    }
+    u = jnp.zeros((V.num_dofs, 2))
+    A, B = form.element_jacobians(u, jnp.zeros(Q.num_dofs), (u,), prm)
+    vals = bsr.assemble(A, B)
+    sp = bsr.sp_vals(vals)
+    amg = bsr.sp_amg()
+    built = jax.jit(amg.build)(sp)
+    row, col, _ = amg.coo[0]
+
+    def mv(x):
+        return jox.segment_sum(
+            sp * x[col], row, num_segments=bsr.n_nodes,
+            indices_are_sorted=True,
+        )
+
+    rng = np.random.RandomState(0)
+    b = jnp.asarray(rng.randn(bsr.n_nodes))
+    b = b - b.mean()
+    x = jnp.zeros_like(b)
+    r = b
+    for _ in range(6):
+        z = amg.v_cycle(built, r)
+        x = x + z
+        x = x - x.mean()
+        r = b - mv(x)
+        r = r - r.mean()
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert rel < 0.05, rel
+
+
+def test_amg_default_solver_converges():
+    """stabilized_schur with the amg_p default must converge on the lid
+    cavity with few outer iterations."""
+    from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.02, mu=0.01, nx=12,
+        output_every=100,
+    )
+    s = sc.solver
+    assert s._nodebsr is not None
+    s.solveStep()
+    assert s.last_stats["converged"]
+    assert int(s.last_stats["ksp_iters"]) < 30
