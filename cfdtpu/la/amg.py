@@ -60,9 +60,11 @@ class AMGLevel:
     __slots__ = ("agg", "n_coarse", "entry_map", "entry_order",
                  "row", "col", "diag_pos", "n", "_coarse_coo")
 
-    def __init__(self, row, col, n):
+    def __init__(self, row, col, n, agg_row=None, agg_col=None):
         self.row, self.col, self.n = row, col, n
-        agg = build_aggregates(row, col, n)
+        if agg_row is None:
+            agg_row, agg_col = row, col
+        agg = build_aggregates(agg_row, agg_col, n)
         self.n_coarse = int(agg.max()) + 1
         self.agg = jnp.asarray(agg.astype(np.int32))
         # Galerkin P0^T A P0: fine entry (i, j) accumulates into coarse
@@ -103,24 +105,34 @@ class AMG:
 
     def __init__(self, row: np.ndarray, col: np.ndarray, n: int,
                  coarse_size: int = 300, max_levels: int = 6,
-                 omega: float = 0.67, n_smooth: int = 2):
+                 omega: float = 0.67, n_smooth: int = 2,
+                 agg_row: np.ndarray | None = None,
+                 agg_col: np.ndarray | None = None):
+        """row/col: COO graph of the operator. agg_row/agg_col: optional
+        SPARSER graph to aggregate on — for the SELFP matrix (distance-2
+        sparsity, ~19 neighbours) aggregating on the distance-1 node
+        graph keeps aggregates at ~7 nodes instead of ~20, which
+        piecewise-constant transfer needs to stay accurate under
+        refinement."""
         self.omega = omega
         self.n_smooth = n_smooth
         self.levels: list[AMGLevel] = []
         self.coo = []  # (row, col, n) per level, jnp row/col
         r, c, m = row, col, n
+        ar, ac = (agg_row, agg_col) if agg_row is not None else (r, c)
         for _ in range(max_levels):
             self.coo.append((jnp.asarray(r.astype(np.int32)),
                              jnp.asarray(c.astype(np.int32)), m))
             if m <= coarse_size:
                 break
-            lvl = AMGLevel(r, c, m)
+            lvl = AMGLevel(r, c, m, agg_row=ar, agg_col=ac)
             if lvl.n_coarse >= m:  # no coarsening progress
                 break
             self.levels.append(lvl)
             r, c = lvl.coarse_coo
             r, c = np.asarray(r), np.asarray(c)
             m = lvl.n_coarse
+            ar, ac = r, c  # coarser levels aggregate on their own graph
         self.n_coarsest = self.coo[len(self.levels)][2]
 
     # -- per-PC-build value pass (jittable) -----------------------------

@@ -230,13 +230,16 @@ class NodeBSR:
         return sp.at[self._sp_app_pos].add(vals[:, d, d])
 
     def sp_amg(self):
-        """Aggregation-MG hierarchy on the explicit SELFP graph."""
+        """Aggregation-MG hierarchy on the explicit SELFP graph
+        (aggregates formed on the distance-1 node graph, see la/amg.py)."""
         if getattr(self, "_sp_amg_h", None) is None:
             from .amg import AMG
 
             sp_row, sp_col, _ = self.sp_structure()
             self._sp_amg_h = AMG(
-                np.asarray(sp_row), np.asarray(sp_col), self.n_nodes
+                np.asarray(sp_row), np.asarray(sp_col), self.n_nodes,
+                agg_row=np.asarray(self.block_row),
+                agg_col=np.asarray(self.block_col),
             )
         return self._sp_amg_h
 
