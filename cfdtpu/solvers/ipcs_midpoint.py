@@ -292,6 +292,42 @@ class Solver(SolverBase):
         d1 = jnp.where(bc_mask_u_flat, 1.0, d1)
         d2 = jnp.where(bc_mask_p, 1.0, d2)
 
+        # AMG on the (constant) pressure Poisson operator — the analogue
+        # of the reference's CG + BoomerAMG step-2 KSP (reference
+        # ipcs_midpoint.py:102-110). The operator never changes, so the
+        # hierarchy AND its values are built once here, eagerly.
+        from ..la.amg import AMG
+
+        dm_p_np = np.asarray(self.Q.dofmap)
+        prow = np.repeat(dm_p_np, nbp, axis=1).reshape(-1).astype(np.int64)
+        pcol = np.tile(dm_p_np, (1, nbp)).reshape(-1).astype(np.int64)
+        pkeys = prow * n_p + pcol
+        puniq, pinv = np.unique(pkeys, return_inverse=True)
+        porder = np.argsort(pinv, kind="stable")
+        a2_coo = jax.ops.segment_sum(
+            A2.reshape(-1)[jnp.asarray(porder.astype(np.int32))],
+            jnp.asarray(pinv[porder].astype(np.int32)),
+            num_segments=len(puniq), indices_are_sorted=True,
+        )
+        a2_row = (puniq // n_p).astype(np.int64)
+        if has_bc_p:
+            # identity rows at pressure-Dirichlet dofs, mirroring mv2
+            bcp_np = np.asarray(bc_mask_p)
+            a2_coo = jnp.where(jnp.asarray(bcp_np[a2_row]), 0.0, a2_coo)
+            diag_pos = np.searchsorted(puniq, np.arange(n_p) * n_p
+                                       + np.arange(n_p))
+            a2_coo = a2_coo.at[jnp.asarray(diag_pos)].set(
+                jnp.where(jnp.asarray(bcp_np), 1.0,
+                          a2_coo[jnp.asarray(diag_pos)])
+            )
+        self._p_amg = AMG(a2_row.astype(np.int32),
+                          (puniq % n_p).astype(np.int32), n_p)
+        p_amg_built = self._p_amg.build(a2_coo)
+        p_amg = self._p_amg
+
+        def precond_p(v):
+            return p_amg.v_cycle(p_amg_built, v)
+
         def step(u_prev, p_prev, bc_u_vals, bc_p_vals, prm):
             up_e = u_prev[dm_u]
             pp_e = p_prev[dm_p]
@@ -350,7 +386,7 @@ class Solver(SolverBase):
             if pin_pressure:
                 b2 = b2 - jnp.mean(b2)
             p_new, info2 = fgmres(
-                mv2, b2, x0=p_prev, precond=lambda v: v / d2,
+                mv2, b2, x0=p_prev, precond=precond_p,
                 restart=30, maxiter=maxiter, rtol=rtol,
             )
             if pin_pressure:
