@@ -261,6 +261,19 @@ class NodeBSR:
             )
         return self._pp_amg
 
+    def apply_p_coupled(self, vals, v_p):
+        """One fused pass for the SELFP Schur action: returns
+        (Aup v_p, App v_p) from a single gather + segment_sum over the
+        whole (bs x 1) block column, instead of two separate sub-block
+        applies (one third fewer scatter rounds in the S hot loop)."""
+        d = self.dim
+        yb = vals[:, :, d] * v_p[self.block_col][:, None]  # (k, bs)
+        yn = jox.segment_sum(
+            yb, self.block_row, num_segments=self.n_nodes,
+            indices_are_sorted=True,
+        )
+        return yn[:, :d].reshape(-1), yn[:, d]
+
     def jacobian_diagonal(self, vals, _A_blocks):
         db = vals[self._diag_pos]  # (n_nodes, bs, bs)
         idx = jnp.arange(self.bs)

@@ -83,15 +83,27 @@ def make_schur_precond(
     d_p = _safe(d_p)
     inv_d_u = 1.0 / d_u
 
-    def S(v_p):
-        """SELFP Schur action: App v - Apu diag(Auu)^-1 Aup v."""
-        w = Aup(v_p)
-        y = App(v_p) - Apu(inv_d_u * w)
-        if bc_mask_p is not None:
-            y = jnp.where(bc_mask_p, v_p, y)
-        if pin_pressure:
-            y = y - jnp.mean(y)
-        return y
+    if hasattr(form, "apply_p_coupled"):
+        def S(v_p):
+            """SELFP Schur action, fused: (Aup v, App v) in one pass."""
+            w, y_pp = form.apply_p_coupled(A_cells, v_p)
+            w = jnp.where(bc_mask_u, 0.0, w)
+            y = y_pp - Apu(inv_d_u * w)
+            if bc_mask_p is not None:
+                y = jnp.where(bc_mask_p, v_p, y)
+            if pin_pressure:
+                y = y - jnp.mean(y)
+            return y
+    else:
+        def S(v_p):
+            """SELFP Schur action: App v - Apu diag(Auu)^-1 Aup v."""
+            w = Aup(v_p)
+            y = App(v_p) - Apu(inv_d_u * w)
+            if bc_mask_p is not None:
+                y = jnp.where(bc_mask_p, v_p, y)
+            if pin_pressure:
+                y = y - jnp.mean(y)
+            return y
 
     # inner_method: "gmres" (both blocks), "chebyshev" (both), or
     # "chebyshev_p" (GMRES on the convective u-block, reduction-free
