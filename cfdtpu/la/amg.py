@@ -140,8 +140,6 @@ class AMG:
         """Galerkin-coarsen the values, precompute the l1 smoothing
         diagonals and the LU factorization of the coarsest level; the
         returned pytree is everything v_cycle touches per application."""
-        from jax.scipy.linalg import lu_factor
-
         out = []
         for k, lvl in enumerate(self.levels):
             out.append((vals, self._l1_diag(k, vals)))
@@ -149,7 +147,10 @@ class AMG:
         row, col, m = self.coo[len(self.levels)]
         A = jnp.zeros((m, m), vals.dtype).at[row, col].set(vals)
         A = A + 1e-12 * jnp.max(jnp.abs(vals)) * jnp.eye(m, dtype=vals.dtype)
-        return out, lu_factor(A)
+        # dense INVERSE, not LU: the coarsest solve then is one MXU
+        # matmul per V-cycle instead of two sequential triangular solves
+        # (TPU-hostile); inverting once per PC build is cheap at m<=300
+        return out, jnp.linalg.inv(A)
 
     def _matvec(self, k, vals, x):
         row, col, m = self.coo[k]
@@ -171,9 +172,7 @@ class AMG:
     def v_cycle(self, built, b, diag0=None):
         """One V(n_smooth, n_smooth) cycle for A x = b, x0 = 0.
         `built` is the (levels, coarse_lu) pytree from build()."""
-        from jax.scipy.linalg import lu_solve
-
-        level_vals, coarse_lu = built
+        level_vals, coarse_inv = built
         nl = len(self.levels)
 
         def smooth(k, vals, d, x, b, iters):
@@ -184,7 +183,7 @@ class AMG:
 
         def descend(k, b):
             if k == nl:
-                return lu_solve(coarse_lu, b)
+                return coarse_inv @ b
             vals, d = level_vals[k]
             x = smooth(k, vals, d, jnp.zeros_like(b), b, self.n_smooth)
             r = b - self._matvec(k, vals, x)
