@@ -89,9 +89,10 @@ def _bench_spmv(reps: int):
         bsr = NodeBSR(form)
         vals = jax.jit(bsr.assemble)(A_cells, A_blocks)
         mv = jax.jit(lambda v: bsr.apply_element_matrices(vals, (), v))
-        nbytes = vals.size * itemsize          # block values (dominant)
-        nbytes += 2 * bsr.n_blocks * 4         # block row/col indices
-        nbytes += 3 * bsr.n_blocks * bsr.bs * itemsize  # gather/out
+        n_ell = bsr.n_nodes * bsr.K
+        nbytes = vals["ell"].size * itemsize   # ELL block values (dominant)
+        nbytes += n_ell * 4                    # ELL column indices
+        nbytes += 2 * n_ell * bsr.bs * itemsize  # gather-in + row out
         label = f"spmv_bsr_{bsr.n_blocks}blk"
     else:
         mv = jax.jit(

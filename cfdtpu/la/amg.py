@@ -104,7 +104,7 @@ class AMG:
     """
 
     def __init__(self, row: np.ndarray, col: np.ndarray, n: int,
-                 coarse_size: int = 300, max_levels: int = 6,
+                 coarse_size: int = 800, max_levels: int = 6,
                  omega: float = 0.67, n_smooth: int = 1,
                  agg_row: np.ndarray | None = None,
                  agg_col: np.ndarray | None = None):
