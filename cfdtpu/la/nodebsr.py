@@ -78,9 +78,9 @@ class NodeBSR:
         self.n_blocks = len(uniq)
         self.block_row = jnp.asarray((uniq // n_nodes).astype(np.int32))
         self.block_col = jnp.asarray((uniq % n_nodes).astype(np.int32))
-        order = np.argsort(inv, kind="stable")
-        self._order = jnp.asarray(order.astype(np.int32))
-        self._sorted_ids = jnp.asarray(inv[order].astype(np.int32))
+        from ..utils.geometry import SortedScatter
+
+        self._assemble_scatter = SortedScatter(inv, self.n_blocks)
 
         # positions of the diagonal blocks (every node couples to itself)
         diag_pos = np.searchsorted(uniq, np.arange(n_nodes, dtype=np.int64)
@@ -125,11 +125,8 @@ class NodeBSR:
                 A_f[:, r[:, None, :, None], r[None, :, None, :]]
                 .reshape(-1, self.bs, self.bs)
             )
-        entries = jnp.concatenate(ent, axis=0)[self._order]
-        vals = jox.segment_sum(
-            entries, self._sorted_ids, num_segments=self.n_blocks,
-            indices_are_sorted=True,
-        )
+        entries = jnp.concatenate(ent, axis=0)
+        vals = self._assemble_scatter(entries)
         # pack COO (diagonal/SELFP paths) + ELL (scatter-free applies)
         vals_ext = jnp.concatenate(
             [vals, jnp.zeros((1, self.bs, self.bs), vals.dtype)], axis=0
@@ -138,6 +135,14 @@ class NodeBSR:
             self.n_nodes, self.K, self.bs, self.bs
         )
         return {"coo": vals, "ell": vals_ell}
+
+    def pc_cast(self, vals, dtype=jnp.bfloat16):
+        """A preconditioner-side view of the pack with the streamed ELL
+        values in bf16 (half the PC matrix traffic; the flexible outer
+        GMRES absorbs the inexactness — applies accumulate in f32 via
+        preferred_element_type). COO values stay full precision: the
+        SELFP assembly and diagonals feed the AMG setup."""
+        return {"coo": vals["coo"], "ell": vals["ell"].astype(dtype)}
 
     # -- form-operator API (vals passed where the form takes A_cells) ---
     @property
@@ -165,7 +170,10 @@ class NodeBSR:
 
     def apply_element_matrices(self, vals, _A_blocks, v_flat):
         xn = self._to_nodes(v_flat)
-        yn = jnp.einsum("nkab,nkb->na", vals["ell"], self._ell_gather(xn))
+        yn = jnp.einsum(
+            "nkab,nkb->na", vals["ell"], self._ell_gather(xn),
+            preferred_element_type=xn.dtype,
+        )
         return self._from_nodes(yn)
 
     def apply_sub_block(self, vals, _A_blocks, v, which: str):
@@ -177,7 +185,7 @@ class NodeBSR:
         )
         yn = jnp.einsum(
             "nkab,nkb->na", vals["ell"][:, :, rs, cs],
-            self._ell_gather(xn),
+            self._ell_gather(xn), preferred_element_type=xn.dtype,
         )
         return yn.reshape(-1) if which[0] == "u" else yn[:, 0]
 
@@ -217,11 +225,12 @@ class NodeBSR:
         uniq = np.unique(np.concatenate([prod_keys, app_keys]))
         n_sp = len(uniq)
         pk = np.searchsorted(uniq, prod_keys)
-        order = np.argsort(pk, kind="stable")
-        self._sp_e1 = jnp.asarray(e1[order].astype(np.int32))
-        self._sp_e2 = jnp.asarray(e2[order].astype(np.int32))
-        self._sp_K = jnp.asarray(col[e1][order].astype(np.int32))
-        self._sp_prod_ids = jnp.asarray(pk[order].astype(np.int32))
+        from ..utils.geometry import SortedScatter
+
+        self._sp_e1 = jnp.asarray(e1.astype(np.int32))
+        self._sp_e2 = jnp.asarray(e2.astype(np.int32))
+        self._sp_K = jnp.asarray(col[e1].astype(np.int32))
+        self._sp_scatter = SortedScatter(pk, n_sp)
         self._sp_app_pos = jnp.asarray(
             np.searchsorted(uniq, app_keys).astype(np.int32)
         )
@@ -257,10 +266,7 @@ class NodeBSR:
         apu = vals[self._sp_e1][:, d, :d]     # (nt, d) block (I,K) pu
         aup = vals[self._sp_e2][:, :d, d]     # (nt, d) block (K,J) up
         contrib = -jnp.sum(apu * inv_duu[self._sp_K] * aup, axis=1)
-        sp = jox.segment_sum(
-            contrib, self._sp_prod_ids, num_segments=n_sp,
-            indices_are_sorted=True,
-        )
+        sp = self._sp_scatter(contrib)
         return sp.at[self._sp_app_pos].add(vals[:, d, d])
 
     def sp_amg(self):
@@ -303,7 +309,10 @@ class NodeBSR:
         block column, instead of two separate sub-block applies."""
         d = self.dim
         xg = self._ell_gather(v_p[:, None])[:, :, 0]  # (n, K)
-        yn = jnp.einsum("nka,nk->na", vals["ell"][:, :, :, d], xg)
+        yn = jnp.einsum(
+            "nka,nk->na", vals["ell"][:, :, :, d], xg,
+            preferred_element_type=xg.dtype,
+        )
         return yn[:, :d].reshape(-1), yn[:, d]
 
     def jacobian_diagonal(self, vals, _A_blocks):

@@ -70,22 +70,55 @@ class SortedScatter:
     using segment_sum(indices_are_sorted=True) turns global FEM assembly
     into the TPU-native reduction pattern (SURVEY.md 7: "assembly =
     vmapped quadrature + segment_sum").
+
+    On TPU even the sorted segment_sum dominates (measured 88% of the
+    node-BSR matvec at 355k blocks): when the max contributions per
+    destination K is small — always true for FEM valences — the scatter
+    is instead laid out as an ELL gather (n_out, K) into the padded
+    source and reduced densely over K, which XLA executes as vector
+    loads + adds with no scatter at all. Falls back to segment_sum for
+    pathological K.
     """
+
+    ELL_MAX_K = 32
 
     def __init__(self, index_array, n_out: int):
         import numpy as np
 
         flat = np.asarray(index_array).reshape(-1)
-        perm = np.argsort(flat, kind="stable")
-        self.perm = jnp.asarray(perm.astype(np.int32))
-        self.sorted_ids = jnp.asarray(flat[perm].astype(np.int32))
+        self.n_in = len(flat)
         self.n_out = int(n_out)
+        perm = np.argsort(flat, kind="stable")
+        cnt = np.bincount(flat, minlength=n_out)
+        K = int(cnt.max()) if len(cnt) else 1
+        self.K = K
+        if K <= self.ELL_MAX_K:
+            starts = np.cumsum(cnt) - cnt
+            slot = np.empty(self.n_in, dtype=np.int64)
+            slot[perm] = (
+                flat[perm] * K
+                + (np.arange(self.n_in) - np.repeat(starts, cnt))
+            )
+            idx = np.full(n_out * K, self.n_in, dtype=np.int64)
+            idx[slot] = np.arange(self.n_in)
+            self.ell_idx = jnp.asarray(
+                idx.reshape(n_out, K).astype(np.int32)
+            )
+            self.perm = None
+        else:
+            self.ell_idx = None
+            self.perm = jnp.asarray(perm.astype(np.int32))
+            self.sorted_ids = jnp.asarray(flat[perm].astype(np.int32))
 
     def __call__(self, vals_flat):
         """vals_flat: (N, ...) contributions in the index array's
         flattened order; returns (n_out, ...) sums."""
         import jax
 
+        if self.ell_idx is not None:
+            pad = jnp.zeros((1,) + vals_flat.shape[1:], vals_flat.dtype)
+            src = jnp.concatenate([vals_flat, pad], axis=0)
+            return src[self.ell_idx].sum(axis=1)
         v = vals_flat[self.perm]
         return jax.ops.segment_sum(
             v, self.sorted_ids, num_segments=self.n_out,
