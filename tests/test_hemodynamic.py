@@ -116,3 +116,38 @@ def test_ipcs_bdf2_unit_square():
         s.solveStep()
         s.u_prev, s.p_prev = s.u_sol, s.p_sol
     assert float(jnp.abs(s.u_sol).max()) < 1.2
+
+
+def test_wss_poiseuille():
+    """Wall shear stress against the plane-Poiseuille analytic value:
+    tau_wall = 6 mu U_mean / H (equivalently 4 mu u_max / H). The WSS
+    form mirrors solverBase.initStressForm (reference
+    src/solverBase.py:120-178)."""
+    import jax.numpy as jnp
+
+    from cfdtpu.scenarios.unit_square_pipe import UnitSquarePipeSimulation
+
+    sc = UnitSquarePipeSimulation(
+        "stabilized_schur", dt=0.05, T=0.5, p_inlet=7.47, p_outlet=0.0,
+        ny=10, early_stop_tolerance=1e-6, output_every=1000,
+    )
+    s = sc.solver
+    s.initStressForm()
+    for _ in range(10):
+        s.solveStep()
+        s.u_prev, s.p_prev = s.u_sol, s.p_sol
+    s.assemble_wss()
+    tau = np.asarray(s.shear_stress)
+    # wall dofs: y = 0 or y = H
+    X = np.asarray(s.V.dof_coords)
+    H = X[:, 1].max()
+    wall = (np.abs(X[:, 1]) < 1e-9) | (np.abs(X[:, 1] - H) < 1e-9)
+    interior_x = (X[:, 0] > 0.2 * X[:, 0].max()) & (
+        X[:, 0] < 0.8 * X[:, 0].max()
+    )
+    tw = np.linalg.norm(tau[wall & interior_x], axis=1)
+    u_max = float(jnp.abs(s.u_sol[:, 0]).max())
+    mu = float(s.mu)
+    tau_exact = 4 * mu * u_max / H
+    rel = abs(np.median(tw) - tau_exact) / tau_exact
+    assert rel < 0.15, (np.median(tw), tau_exact)
