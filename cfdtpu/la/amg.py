@@ -24,16 +24,42 @@ import jax.numpy as jnp
 from jax import ops as jox
 
 
-def build_aggregates(row, col, n: int) -> np.ndarray:
-    """Greedy root-based aggregation over the graph (row, col) -> agg id
-    per node. Roots are chosen as unaggregated nodes whose neighbours are
-    unaggregated; each root swallows its neighbourhood; leftovers join an
-    adjacent aggregate."""
+def build_aggregates(row, col, n: int, pairwise: bool = False
+                     ) -> np.ndarray:
+    """Aggregation over the graph (row, col) -> agg id per node.
+
+    Default (root-based): roots swallow their whole neighbourhood
+    (aggregates of ~valence+1, aggressive ~7x coarsening). pairwise:
+    greedy graph matching into aggregates of <= 2 (plus a second pass
+    merging leftover singletons) — slower coarsening (~2x/level, more
+    levels) but much better piecewise-constant interpolation quality,
+    the AGMG-style trade."""
     order = np.argsort(row, kind="stable")
     row_s, col_s = row[order], col[order]
     ptr = np.searchsorted(row_s, np.arange(n + 1))
     agg = -np.ones(n, dtype=np.int64)
     n_agg = 0
+    if pairwise:
+        for i in range(n):
+            if agg[i] >= 0:
+                continue
+            nbrs = col_s[ptr[i]:ptr[i + 1]]
+            free = nbrs[(agg[nbrs] < 0) & (nbrs != i)]
+            agg[i] = n_agg
+            if len(free):
+                agg[free[0]] = n_agg
+            n_agg += 1
+        # merge leftover singletons (matched nothing) into a neighbour
+        sizes = np.bincount(agg, minlength=n_agg)
+        for i in range(n):
+            if sizes[agg[i]] > 1:
+                continue
+            nbrs = col_s[ptr[i]:ptr[i + 1]]
+            others = nbrs[nbrs != i]
+            if len(others):
+                agg[i] = agg[others[0]]
+        _, agg = np.unique(agg, return_inverse=True)
+        return agg
     for i in range(n):
         if agg[i] >= 0:
             continue
@@ -60,11 +86,12 @@ class AMGLevel:
     __slots__ = ("agg", "n_coarse", "entry_map", "entry_order",
                  "row", "col", "diag_pos", "n", "_coarse_coo")
 
-    def __init__(self, row, col, n, agg_row=None, agg_col=None):
+    def __init__(self, row, col, n, agg_row=None, agg_col=None,
+                 pairwise=False):
         self.row, self.col, self.n = row, col, n
         if agg_row is None:
             agg_row, agg_col = row, col
-        agg = build_aggregates(agg_row, agg_col, n)
+        agg = build_aggregates(agg_row, agg_col, n, pairwise=pairwise)
         self.n_coarse = int(agg.max()) + 1
         self.agg = jnp.asarray(agg.astype(np.int32))
         # Galerkin P0^T A P0: fine entry (i, j) accumulates into coarse
@@ -107,7 +134,8 @@ class AMG:
                  coarse_size: int = 800, max_levels: int = 6,
                  omega: float = 0.67, n_smooth: int = 1,
                  agg_row: np.ndarray | None = None,
-                 agg_col: np.ndarray | None = None):
+                 agg_col: np.ndarray | None = None,
+                 pairwise: bool = False):
         """row/col: COO graph of the operator. agg_row/agg_col: optional
         SPARSER graph to aggregate on — for the SELFP matrix (distance-2
         sparsity, ~19 neighbours) aggregating on the distance-1 node
@@ -125,7 +153,8 @@ class AMG:
                              jnp.asarray(c.astype(np.int32)), m))
             if m <= coarse_size:
                 break
-            lvl = AMGLevel(r, c, m, agg_row=ar, agg_col=ac)
+            lvl = AMGLevel(r, c, m, agg_row=ar, agg_col=ac,
+                           pairwise=pairwise)
             if lvl.n_coarse >= m:  # no coarsening progress
                 break
             self.levels.append(lvl)

@@ -136,6 +136,28 @@ class NodeBSR:
         )
         return {"coo": vals, "ell": vals_ell}
 
+    def uu_block_jacobi(self, vals, bc_mask_u):
+        """Exact inverse of the (dim x dim) diagonal velocity blocks —
+        a node-block Jacobi PC for the A_uu inner sweeps, strictly
+        stronger than the scalar diagonal when the velocity components
+        couple (convection at larger dt). BC rows become identity."""
+        from ..utils.geometry import det_and_inv
+
+        d = self.dim
+        db = vals["coo"][self._diag_pos][:, :d, :d]  # (n_nodes, d, d)
+        mask = bc_mask_u.reshape(self.n_nodes, d)
+        eye = jnp.eye(d, dtype=db.dtype)
+        # identity rows/cols at Dirichlet components
+        db = jnp.where(mask[:, :, None], eye[None], db)
+        db = jnp.where(mask[:, None, :], eye[None], db)
+        _, inv = det_and_inv(db)
+
+        def apply(v):
+            vn = v.reshape(self.n_nodes, d)
+            return jnp.einsum("nab,nb->na", inv, vn).reshape(-1)
+
+        return apply
+
     def pc_cast(self, vals, dtype=jnp.bfloat16):
         """A preconditioner-side view of the pack with the streamed ELL
         values in bf16 (half the PC matrix traffic; the flexible outer
@@ -269,7 +291,7 @@ class NodeBSR:
         sp = self._sp_scatter(contrib)
         return sp.at[self._sp_app_pos].add(vals[:, d, d])
 
-    def sp_amg(self):
+    def sp_amg(self, pairwise=False):
         """Aggregation-MG hierarchy on the explicit SELFP graph
         (aggregates formed on the distance-1 node graph, see la/amg.py)."""
         if getattr(self, "_sp_amg_h", None) is None:
@@ -280,6 +302,7 @@ class NodeBSR:
                 np.asarray(sp_row), np.asarray(sp_col), self.n_nodes,
                 agg_row=np.asarray(self.block_row),
                 agg_col=np.asarray(self.block_col),
+                pairwise=pairwise,
             )
         return self._sp_amg_h
 

@@ -119,10 +119,18 @@ def make_schur_precond(
         def solve_Auu(r):
             return chebyshev_fixed(Auu, r, inv_d_u, lam_u, m=m_u)
     else:
+        if hasattr(form, "uu_block_jacobi"):
+            # exact (dim x dim) node-block Jacobi: strictly stronger
+            # than the scalar diagonal once convection couples the
+            # velocity components (large dt)
+            Mu = form.uu_block_jacobi(A_cells, bc_mask_u)
+        else:
+            Mu = lambda v: v / d_u  # noqa: E731
+
         def solve_Auu(r):
             # single-orthogonalization sweeps: the PC only needs an
             # approximate inverse; halves the non-matvec cost/iteration
-            return gmres_fixed(Auu, r, precond=lambda v: v / d_u, m=m_u,
+            return gmres_fixed(Auu, r, precond=Mu, m=m_u,
                                reorth=False)
 
     if inner_method == "amg_p" and hasattr(form, "sp_amg"):

@@ -71,8 +71,10 @@ class Solver(SolverBase):
         snes_ksp_ew: bool = False,
         predictor: str = "previous",
         pc_dtype: str = "same",
+        pc_amg_pairwise: bool = False,
         **kwargs,
     ):
+        self.pc_amg_pairwise = bool(pc_amg_pairwise)
         # "bf16": half the PC matrix traffic at +35% outer iterations
         # (measured on DFG 10k DOF; also 1.59 -> 1.19 steps/s on TPU at
         # that latency-bound size). Worth revisiting only for large,
@@ -229,7 +231,7 @@ class Solver(SolverBase):
                 # static SELFP sparsity + MG hierarchy must be built
                 # eagerly (numpy) — inside jit they would trace
                 nodebsr.sp_structure()
-                nodebsr.sp_amg()
+                nodebsr.sp_amg(pairwise=self.pc_amg_pairwise)
         self._nodebsr = nodebsr
         amg_active = (
             nodebsr is not None and self.pc_inner_method == "amg_p"
