@@ -117,6 +117,22 @@ def _bench_spmv(reps: int):
 def main():
     steps = int(os.environ.get("BENCH_STEPS", "3"))
     scenario = os.environ.get("BENCH_SCENARIO", "dfg")
+    # watchdog: the axon TPU worker can crash and leave every device
+    # computation hanging indefinitely; always emit the JSON line
+    import signal
+
+    def _on_timeout(signum, frame):
+        print(json.dumps({
+            "metric": f"{scenario}_bench_timeout",
+            "value": 0.0,
+            "unit": "steps/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "watchdog timeout (TPU worker hung?)",
+        }), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", "1500")))
     try:
         if scenario == "lid":
             name, val, unit = _bench_lid(steps)
