@@ -218,12 +218,17 @@ class Scenario(ABC):
             writers["wss"].write(t, solver.shear_stress)
 
         write_all(t)
-        stats_log = open(f"{output_folder}/solver_stats.txt", "w")
+        # line-buffered: long runs killed by a timeout must still leave
+        # their per-step stats behind (the checkpoint alone is not
+        # enough to diagnose solver behaviour post-mortem)
+        stats_log = open(
+            f"{output_folder}/solver_stats.txt", "w", buffering=1
+        )
         stats_log.write("# step t wall_s newton_iters ksp_iters fnorm\n")
 
         error_log = None
         if self.has_exact_solution:
-            error_log = open(f"{output_folder}/err.txt", "w")
+            error_log = open(f"{output_folder}/err.txt", "w", buffering=1)
             error = self.compute_error_at(t)
             error_log.write("t = %.3f: error = %.3g\n" % (t, error))
 
