@@ -64,7 +64,15 @@ class StabilizedNSForm:
         Q: FunctionSpace,
         quad_degree: int | None = None,
         boundary_correction: bool = True,
+        stabilization: bool = True,
     ):
+        # stabilization=False gives the plain Galerkin form (no
+        # SUPG/PSPG/LSIC) — used where the reference uses unstabilized
+        # mixed elements (solvers_aux, /root/reference/src/solvers_aux/
+        # pressure.py:46-52): the strong residual of a P1 interpolant
+        # drops mu lap u entirely, so SUPG/PSPG are inconsistent for
+        # given-velocity least-squares problems.
+        self.stabilization = bool(stabilization)
         assert V.mesh is Q.mesh
         mesh = V.mesh
         self.V, self.Q = V, Q
@@ -145,6 +153,7 @@ class StabilizedNSForm:
         gdphi, qw = self.gdphi, self.qw
         eps_default = self.eps
         eye = jnp.eye(dim, dtype=self.dtype)
+        stab = getattr(self, "stabilization", True)
 
         def kernel(u_e, p_e, aux_e, coords_e, h_e, prm):
             (uprev_e,) = aux_e
@@ -207,15 +216,17 @@ class StabilizedNSForm:
             mass = rho * ((u_q - up_q) / dt + conv - f)
             ru = jnp.einsum("q,qb,qi->bi", wdet, phi_u, mass)
             ru += jnp.einsum("q,qij,qbj->bi", wdet, sig, gu)
-            # SUPG: tau R · (u_mid·grad) v
-            adv_v = jnp.einsum("qbg,qg->qb", gu, um_q)
-            ru += jnp.einsum("q,qi,qb->bi", wdet * tau, R, adv_v)
-            # LSIC: tau_lsic div(u_mid) rho div(v)
-            ru += jnp.einsum("q,qbi->bi", wdet * tau_lsic * rho * div_um, gu)
-
-            # continuity + PSPG
             rp = jnp.einsum("q,qb->b", wdet * div_um, phi_p)
-            rp += jnp.einsum("q,qi,qbi->b", wdet * tau / rho, R, gp)
+            if stab:
+                # SUPG: tau R · (u_mid·grad) v
+                adv_v = jnp.einsum("qbg,qg->qb", gu, um_q)
+                ru += jnp.einsum("q,qi,qb->bi", wdet * tau, R, adv_v)
+                # LSIC: tau_lsic div(u_mid) rho div(v)
+                ru += jnp.einsum(
+                    "q,qbi->bi", wdet * tau_lsic * rho * div_um, gu
+                )
+                # PSPG
+                rp += jnp.einsum("q,qi,qbi->b", wdet * tau / rho, R, gp)
             return ru, rp
 
         return kernel
@@ -445,6 +456,22 @@ class StabilizedNSForm:
             self.dofmap_u
         ].add(md)
         return jnp.repeat(d, self.dim)
+
+    def p_mass_lumped(self):
+        """Diagonal of the pressure mass matrix (n_p,) — the Mp/mu Schur
+        approximation of the Stokes block-diagonal PC (Silvester-Wathen;
+        the reference's p-block mass-matrix Jacobi,
+        /root/reference/src/solvers_aux/stokes.py:52-75). Diagonal
+        (not row-sum) lumping: Pk>=2 vertex basis functions integrate
+        to zero on simplices, so row sums are singular there."""
+        J = jnp.einsum("cvg,qvd->cqgd", self.cell_coords, self.gdphi)
+        detJ, _ = det_and_inv(J)
+        wdet = jnp.abs(detJ) * self.qw[None, :]
+        md = jnp.einsum("cq,qb,qb->cb", wdet, self.phi_p, self.phi_p)
+        d = jnp.zeros((self.Q.num_dofs,), self.dtype).at[
+            self.dofmap_p
+        ].add(md)
+        return jnp.maximum(d, 1e-30)
 
     def apply_p_matrix(self, A_e, v):
         """Apply an element matrix on Q: y = A v."""

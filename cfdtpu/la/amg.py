@@ -82,6 +82,27 @@ def build_aggregates(row, col, n: int, pairwise: bool = False
     return agg
 
 
+def build_ell(row: np.ndarray, col: np.ndarray, n: int):
+    """Static ELL maps for a row-sorted COO graph: returns
+    (perm (n*K,), cols (n, K), K) where perm indexes into the COO value
+    array (sentinel = nnz -> zero pad) and cols into the x vector
+    (sentinel = n -> zero pad). Turns the segment_sum matvec into a
+    dense gather+reduce — the TPU-native sparse layout (la/nodebsr.py
+    measured the same switch at 2.1x on the node-block operator)."""
+    nnz = len(row)
+    cnt = np.bincount(row, minlength=n)
+    K = int(cnt.max()) if nnz else 1
+    starts = np.cumsum(cnt) - cnt
+    pos = np.arange(nnz) - np.repeat(starts, cnt)
+    slot = row.astype(np.int64) * K + pos
+    perm = np.full(n * K, nnz, dtype=np.int64)
+    perm[slot] = np.arange(nnz)
+    cols = np.full(n * K, n, dtype=np.int64)
+    cols[slot] = col
+    return (jnp.asarray(perm.astype(np.int32)),
+            jnp.asarray(cols.reshape(n, K).astype(np.int32)), K)
+
+
 class AMGLevel:
     __slots__ = ("agg", "n_coarse", "entry_map", "entry_order",
                  "row", "col", "diag_pos", "n", "_coarse_coo")
@@ -146,11 +167,13 @@ class AMG:
         self.n_smooth = n_smooth
         self.levels: list[AMGLevel] = []
         self.coo = []  # (row, col, n) per level, jnp row/col
+        self.ell = []  # (perm, cols, K) per level — matvec layout
         r, c, m = row, col, n
         ar, ac = (agg_row, agg_col) if agg_row is not None else (r, c)
         for _ in range(max_levels):
             self.coo.append((jnp.asarray(r.astype(np.int32)),
                              jnp.asarray(c.astype(np.int32)), m))
+            self.ell.append(build_ell(r, c, m))
             if m <= coarse_size:
                 break
             lvl = AMGLevel(r, c, m, agg_row=ar, agg_col=ac,
@@ -165,13 +188,25 @@ class AMG:
         self.n_coarsest = self.coo[len(self.levels)][2]
 
     # -- per-PC-build value pass (jittable) -----------------------------
+    def _to_ell(self, k, vals):
+        """COO values -> (m, K) ELL values of level k (zero-padded)."""
+        perm, cols, K = self.ell[k]
+        vals_ext = jnp.concatenate(
+            [vals, jnp.zeros((1,), vals.dtype)]
+        )
+        return vals_ext[perm].reshape(cols.shape[0], K)
+
     def build(self, vals):
         """Galerkin-coarsen the values, precompute the l1 smoothing
-        diagonals and the LU factorization of the coarsest level; the
-        returned pytree is everything v_cycle touches per application."""
+        diagonals and the dense inverse of the coarsest level; the
+        returned pytree is everything v_cycle touches per application.
+        Level matvec values are stored in ELL layout (gather + dense
+        K-reduction — no scatter; the COO segment_sum matvec measured
+        17.9 ms per V-cycle at 78k DOF, dominating the whole Schur PC)."""
         out = []
         for k, lvl in enumerate(self.levels):
-            out.append((vals, self._l1_diag(k, vals)))
+            ev = self._to_ell(k, vals)
+            out.append((ev, self._l1_diag_ell(ev)))
             vals = lvl.coarsen_vals(vals)
         row, col, m = self.coo[len(self.levels)]
         A = jnp.zeros((m, m), vals.dtype).at[row, col].set(vals)
@@ -181,26 +216,21 @@ class AMG:
         # (TPU-hostile); inverting once per PC build is cheap at m<=300
         return out, jnp.linalg.inv(A)
 
-    def _matvec(self, k, vals, x):
-        row, col, m = self.coo[k]
-        return jox.segment_sum(
-            vals * x[col], row, num_segments=m, indices_are_sorted=True
-        )
+    def _matvec(self, k, ell_vals, x):
+        _, cols, K = self.ell[k]
+        x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+        return jnp.sum(ell_vals * x_ext[cols], axis=1)
 
-    def _l1_diag(self, k, vals):
+    def _l1_diag_ell(self, ell_vals):
         """l1-Jacobi smoothing diagonal d_i = sum_j |A_ij|: a convergent
         smoother for SPD operators and robust under the mild asymmetry
         of the SELFP Schur matrix (plain diag-Jacobi measured
         rho = 1.54 on DFG — divergent)."""
-        row, col, m = self.coo[k]
-        d = jox.segment_sum(
-            jnp.abs(vals), row, num_segments=m, indices_are_sorted=True
-        )
-        return jnp.maximum(d, 1e-30)
+        return jnp.maximum(jnp.sum(jnp.abs(ell_vals), axis=1), 1e-30)
 
     def v_cycle(self, built, b, diag0=None):
         """One V(n_smooth, n_smooth) cycle for A x = b, x0 = 0.
-        `built` is the (levels, coarse_lu) pytree from build()."""
+        `built` is the (levels, coarse_inv) pytree from build()."""
         level_vals, coarse_inv = built
         nl = len(self.levels)
 
@@ -214,7 +244,9 @@ class AMG:
             if k == nl:
                 return coarse_inv @ b
             vals, d = level_vals[k]
-            x = smooth(k, vals, d, jnp.zeros_like(b), b, self.n_smooth)
+            # first pre-smooth from x0 = 0 needs no matvec: x = w b/d
+            x = self.omega * b / d
+            x = smooth(k, vals, d, x, b, self.n_smooth - 1)
             r = b - self._matvec(k, vals, x)
             rc = jox.segment_sum(
                 r, self.levels[k].agg,
@@ -223,5 +255,108 @@ class AMG:
             xc = descend(k + 1, rc)
             x = x + xc[self.levels[k].agg]
             return smooth(k, vals, d, x, b, self.n_smooth)
+
+        return descend(0, b)
+
+
+class BlockAMG(AMG):
+    """Node-block (d x d) aggregation AMG — for the velocity block A_uu.
+
+    The reference runs its u-block sub-solves under ASM/ILU or hypre
+    BoomerAMG (/root/reference/src/solvers/stabilized_schur.py:261-264,
+    stabilized_pcd.py:268); the round-1 node-block-Jacobi GMRES sweeps
+    are not h-robust in the convection-dominated steady-march regime
+    (outer iterations 95-150 at 40k DOF, PERF.md). This is the same
+    plain-aggregation hierarchy as the scalar AMG — the aggregates and
+    Galerkin entry maps come from the node graph and are built ONCE —
+    with (d x d) block values: block Galerkin coarsening by segment-sum
+    over blocks, block l1-Jacobi smoothing (row sums of |A_ij|_1 per
+    component row — convergent for the convective operator where plain
+    block-Jacobi is not), and a dense coarsest inverse over node blocks.
+
+    Vectors are (n*d,) flat, component-major per node (matching the
+    solver's u layout).
+    """
+
+    def __init__(self, row, col, n, d: int, coarse_size: int = 400,
+                 **kw):
+        self.d = int(d)
+        super().__init__(row, col, n, coarse_size=coarse_size, **kw)
+
+    def _to_ell_block(self, k, vals):
+        perm, cols, K = self.ell[k]
+        d = self.d
+        vals_ext = jnp.concatenate(
+            [vals, jnp.zeros((1, d, d), vals.dtype)]
+        )
+        return vals_ext[perm].reshape(cols.shape[0], K, d, d)
+
+    def build(self, vals):
+        """vals: (nnz, d, d) block values on the finest graph."""
+        d = self.d
+        out = []
+        for k, lvl in enumerate(self.levels):
+            ev = self._to_ell_block(k, vals)
+            out.append((ev, self._l1_diag_block(ev)))
+            # block Galerkin: same entry maps, blocks summed wholesale
+            v = vals[lvl.entry_order]
+            vals = jox.segment_sum(
+                v, lvl.entry_map,
+                num_segments=lvl.coarse_coo[0].shape[0],
+                indices_are_sorted=True,
+            )
+        row, col, m = self.coo[len(self.levels)]
+        A = jnp.zeros((m, m, d, d), vals.dtype).at[row, col].set(vals)
+        A = jnp.transpose(A, (0, 2, 1, 3)).reshape(m * d, m * d)
+        A = A + 1e-12 * jnp.max(jnp.abs(vals)) * jnp.eye(
+            m * d, dtype=vals.dtype
+        )
+        return out, jnp.linalg.inv(A)
+
+    def _matvec_block(self, k, ell_vals, x):
+        """x: (n*d,) flat -> (n*d,) flat."""
+        _, cols, K = self.ell[k]
+        m = cols.shape[0]
+        xn = x.reshape(m, self.d)
+        x_ext = jnp.concatenate(
+            [xn, jnp.zeros((1, self.d), xn.dtype)]
+        )
+        y = jnp.einsum(
+            "mkab,mkb->ma", ell_vals, x_ext[cols],
+            preferred_element_type=xn.dtype,
+        )
+        return y.reshape(-1)
+
+    def _l1_diag_block(self, ell_vals):
+        # (m, K, d, d) -> (m*d,) row sums of |A_ij|_1 per component row
+        dsum = jnp.sum(jnp.abs(ell_vals), axis=(1, 3))
+        return jnp.maximum(dsum, 1e-30).reshape(-1)
+
+    def v_cycle(self, built, b, diag0=None):
+        level_vals, coarse_inv = built
+        nl = len(self.levels)
+        d = self.d
+
+        def smooth(k, vals, dg, x, b, iters):
+            for _ in range(iters):
+                r = b - self._matvec_block(k, vals, x)
+                x = x + self.omega * r / dg
+            return x
+
+        def descend(k, b):
+            if k == nl:
+                return coarse_inv @ b
+            vals, dg = level_vals[k]
+            x = self.omega * b / dg  # first pre-smooth from x0 = 0
+            x = smooth(k, vals, dg, x, b, self.n_smooth - 1)
+            r = b - self._matvec_block(k, vals, x)
+            agg = self.levels[k].agg
+            rc = jox.segment_sum(
+                r.reshape(-1, d), agg,
+                num_segments=self.levels[k].n_coarse,
+            ).reshape(-1)
+            xc = descend(k + 1, rc)
+            x = x + xc.reshape(-1, d)[agg].reshape(-1)
+            return smooth(k, vals, dg, x, b, self.n_smooth)
 
         return descend(0, b)

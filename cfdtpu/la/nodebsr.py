@@ -306,6 +306,36 @@ class NodeBSR:
             )
         return self._sp_amg_h
 
+    # -- velocity-block AMG hooks (see la/amg.py BlockAMG) ---------------
+    def uu_vals(self, vals, bc_mask_u):
+        """BC-consistent (n_blocks, d, d) velocity coupling blocks:
+        Dirichlet component rows/columns zeroed, identity on the masked
+        diagonal — the assembled twin of the PC-side Auu operator
+        (la/schur.py masks the matvec the same way)."""
+        if isinstance(vals, dict):
+            vals = vals["coo"]
+        d = self.dim
+        v = vals[:, :d, :d]
+        mask = bc_mask_u.reshape(self.n_nodes, d)
+        v = jnp.where(mask[self.block_row][:, :, None], 0.0, v)
+        v = jnp.where(mask[self.block_col][:, None, :], 0.0, v)
+        dv = v[self._diag_pos]
+        add = mask[:, :, None] * jnp.eye(d, dtype=v.dtype)[None]
+        return v.at[self._diag_pos].set(dv + add)
+
+    def uu_amg(self):
+        """Block-aggregation-MG hierarchy on the velocity node graph
+        (static structure, built once and cached) — the h-robust inner
+        PC for the convection-dominated A_uu sweeps."""
+        if getattr(self, "_uu_amg_h", None) is None:
+            from .amg import BlockAMG
+
+            self._uu_amg_h = BlockAMG(
+                np.asarray(self.block_row), np.asarray(self.block_col),
+                self.n_nodes, d=self.dim,
+            )
+        return self._uu_amg_h
+
     # -- pressure-block AMG hooks (see la/amg.py) ------------------------
     def pp_vals(self, vals):
         if isinstance(vals, dict):

@@ -105,13 +105,27 @@ def make_schur_precond(
                 y = y - jnp.mean(y)
             return y
 
-    # inner_method: "gmres" (both blocks), "chebyshev" (both), or
+    # inner_method: "gmres" (both blocks), "chebyshev" (both),
     # "chebyshev_p" (GMRES on the convective u-block, reduction-free
-    # Chebyshev on the near-SPD SELFP Schur block — see la/chebyshev.py)
+    # Chebyshev on the near-SPD SELFP Schur block — see la/chebyshev.py),
+    # "amg_p" (AMG inner PC on the SELFP Schur stage), or "amg_up"
+    # (additionally block-AMG on the A_uu stage — the h-robust analogue
+    # of the reference's hypre/ASM u-block sub-PCs,
+    # /root/reference/src/solvers/stabilized_schur.py:261-264)
     cheb_u = inner_method == "chebyshev"
     cheb_p = inner_method in ("chebyshev", "chebyshev_p")
 
-    if cheb_u:
+    if inner_method == "amg_up" and hasattr(form, "uu_amg"):
+        uu_amg = form.uu_amg()
+        uu_built = uu_amg.build(form.uu_vals(A_cells, bc_mask_u))
+
+        def Mu_amg(r):
+            return uu_amg.v_cycle(uu_built, r)
+
+        def solve_Auu(r):
+            return gmres_fixed(Auu, r, precond=Mu_amg, m=m_u,
+                               reorth=False)
+    elif cheb_u:
         from .chebyshev import chebyshev_fixed, estimate_lambda_max
 
         lam_u = estimate_lambda_max(Auu, inv_d_u, n_u_flat, d_u.dtype)
@@ -133,7 +147,7 @@ def make_schur_precond(
             return gmres_fixed(Auu, r, precond=Mu, m=m_u,
                                reorth=False)
 
-    if inner_method == "amg_p" and hasattr(form, "sp_amg"):
+    if inner_method in ("amg_p", "amg_up") and hasattr(form, "sp_amg"):
         # aggregation-MG V-cycle on the EXPLICIT SELFP matrix
         # Sp = App - Apu diag(Auu)^-1 Aup as the inner PC of the S
         # sweeps (la/amg.py, la/nodebsr.py sp_vals) — the h-robust

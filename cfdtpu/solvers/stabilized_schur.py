@@ -164,18 +164,56 @@ class Solver(SolverBase):
         self.bc_dofs_u, self._keep_u = combine_bcs(self.bcu_d, self.mesh.gdim)
         self.bc_dofs_p, self._keep_p = combine_bcs(self.bcp_d, 1)
 
-        # The constant-pressure mode is a nullspace only when pressure is
-        # nowhere constrained AND every boundary-velocity row is Dirichlet
-        # (otherwise boundary terms couple the constant mode); mirrors the
-        # nullsp.test(A) gating at stabilized_schur.py:314.
-        all_bdofs = self.V.facet_closure_dofs(
-            np.arange(len(self.mesh.facets))
+        # The constant-pressure nullspace is tested NUMERICALLY on the
+        # initial-state Jacobian, exactly like the reference's
+        # nullsp.test(A) (stabilized_schur.py:313-316). A static
+        # boundary-coverage heuristic is not enough: the do-nothing
+        # correction term +p n·v on ds restores the pure-gradient
+        # pressure coupling, so the constant mode survives even with
+        # free-outflow boundaries (measured: singular J, sigma_min
+        # ~1e-17, Newton stalls at fnorm ~1e-2 on the channel fixture).
+        self.pin_pressure = (
+            len(self.bc_dofs_p) == 0 and self._test_pressure_nullspace()
         )
-        self.pin_pressure = len(self.bc_dofs_p) == 0 and np.isin(
-            all_bdofs, self.bc_dofs_u
-        ).all()
 
         self._build_step()
+
+    def _test_pressure_nullspace(self) -> bool:
+        """True if J e_p ~ 0 for the constant-pressure vector e_p, with
+        Dirichlet-velocity rows masked (they are identity rows in the
+        solve and see no pressure)."""
+        form = self.form
+        n_u, n_p = self.V.num_dofs, self.Q.num_dofs
+        dim = self.mesh.gdim
+        try:
+            A_cells, A_blocks = form.element_jacobians(
+                self.u_prev, self.p_prev, self._aux(), self.params()
+            )
+            e = jnp.concatenate([
+                jnp.zeros((n_u * dim,), self.dtype),
+                jnp.full((n_p,), 1.0, self.dtype),
+            ])
+            y = form.apply_element_matrices(A_cells, A_blocks, e)
+            mask = np.zeros(n_u * dim + n_p, dtype=bool)
+            for d0 in range(dim):
+                mask[self.bc_dofs_u.astype(np.int64) * dim + d0] = True
+            y = jnp.where(jnp.asarray(mask), 0.0, y)
+            # scale: the operator's response to a unit random vector
+            rng = np.random.default_rng(0)
+            v = jnp.asarray(
+                rng.standard_normal(n_u * dim + n_p), self.dtype
+            )
+            v = v / jnp.linalg.norm(v)
+            yv = form.apply_element_matrices(A_cells, A_blocks, v)
+            scale = jnp.linalg.norm(yv)
+            rel = float(
+                jnp.linalg.norm(y) / jnp.sqrt(n_p)
+                / jnp.maximum(scale, 1e-30)
+            )
+        except Exception:
+            return False  # non-monolithic forms: no pinning
+        tol = 1e-6 if self.dtype == np.float64 else 1e-3
+        return rel < tol
 
     # ------------------------------------------------------------------
     def _build_step(self) -> None:
@@ -227,14 +265,19 @@ class Solver(SolverBase):
                 nodebsr = NodeBSR(form)
             except ValueError:
                 nodebsr = None  # non-equal-order spaces: element path
-            if nodebsr is not None and self.pc_inner_method == "amg_p":
+            if nodebsr is not None and self.pc_inner_method in (
+                "amg_p", "amg_up"
+            ):
                 # static SELFP sparsity + MG hierarchy must be built
                 # eagerly (numpy) — inside jit they would trace
                 nodebsr.sp_structure()
                 nodebsr.sp_amg(pairwise=self.pc_amg_pairwise)
+                if self.pc_inner_method == "amg_up":
+                    nodebsr.uu_amg()
         self._nodebsr = nodebsr
         amg_active = (
-            nodebsr is not None and self.pc_inner_method == "amg_p"
+            nodebsr is not None
+            and self.pc_inner_method in ("amg_p", "amg_up")
         )
         pc_bf16 = (
             self.pc_dtype == "bf16"

@@ -34,7 +34,26 @@ def recover_pressure(
     mesh = V.mesh
     dtype = mesh.points.dtype
     dim = mesh.gdim
-    form = StabilizedNSForm(V, Q, boundary_correction=False)
+    # The boundary terms matter: the reference form includes
+    # `inner(p, dot(n, v))*ds` and `dot(mu*nabla_grad(u)*n, v)*ds`
+    # (pressure.py:46-52); without them boundary test rows see an
+    # inconsistent natural BC and the least-squares fit is polluted
+    # domain-wide (measured: ||r_u(p_exact)|| > ||r_u(0)|| on plane
+    # Poiseuille). Here the FULL traction 2 mu eps(u) n is used instead
+    # of the reference's partial nabla_grad(u)^T n — the partial form
+    # leaves tangential wall junk in the rows that drags the fitted
+    # pressure gradient ~35% low (see facet_terms.py). Plain Galerkin
+    # (stabilization=False), as the reference (P3/P2, no SUPG/PSPG).
+    form = StabilizedNSForm(
+        V, Q, boundary_correction=False, stabilization=False
+    )
+    from ..forms.facet_terms import natural_correction_full_stress
+
+    form.add_facet_term(
+        "natural_full_stress",
+        np.arange(len(mesh.facets), dtype=np.int32),
+        natural_correction_full_stress(),
+    )
     prm = {
         # huge dt removes the time term; aux = (u,) makes du/dt = 0 anyway
         "dt": jnp.asarray(1e30, dtype),

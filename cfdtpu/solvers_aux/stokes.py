@@ -118,9 +118,33 @@ def solve_stokes(
             du, dp = y[: n_u * dim], y[n_u * dim:]
             return jnp.concatenate([du, dp - jnp.mean(dp)])
 
-        precond = make_schur_precond(
-            form, A_cells, A_blocks, bc_mask_u, True, m_u=10, m_p=12
-        )
+        # Silvester-Wathen block-diagonal PC: the Schur complement of
+        # Stokes is spectrally equivalent to the scaled pressure mass
+        # matrix, S ~ Mp/mu — the same approximation behind the
+        # reference's MINRES + mass-matrix-Jacobi p-block
+        # (/root/reference/src/solvers_aux/stokes.py:52-75). The
+        # SELFP-diag Schur used by the NS solvers is NOT valid here:
+        # Taylor-Hood has App = 0, so Sp degenerates to the tiny
+        # regularization and the outer iteration stalls.
+        mp_lumped = form.p_mass_lumped()
+
+        def Auu(v):
+            y = form.apply_sub_block(A_cells, A_blocks, v, "uu")
+            return jnp.where(bc_mask_u, v, y)
+
+        d_full = form.jacobian_diagonal(A_cells, A_blocks)
+        d_u = jnp.where(bc_mask_u, 1.0, d_full[: n_u * dim])
+
+        from ..la.gmres import gmres_fixed
+
+        def precond(v):
+            r_u, r_p = v[: n_u * dim], v[n_u * dim:]
+            z_u = gmres_fixed(
+                Auu, r_u, precond=lambda w: w / d_u, m=12, reorth=False
+            )
+            z_p = mu_j * r_p / mp_lumped
+            return jnp.concatenate([z_u, z_p - jnp.mean(z_p)])
+
         x, info = fgmres(
             matvec, b, precond=precond, restart=60, maxiter=maxiter,
             rtol=rtol,
