@@ -167,13 +167,14 @@ class AMG:
         self.n_smooth = n_smooth
         self.levels: list[AMGLevel] = []
         self.coo = []  # (row, col, n) per level, jnp row/col
-        self.ell = []  # (perm, cols, K) per level — matvec layout
+        self.sup = []  # (SuperMaps, positions) per level — matvec layout
+        self.g = 8  # scalar supernode width: gathered rows of 8
         r, c, m = row, col, n
         ar, ac = (agg_row, agg_col) if agg_row is not None else (r, c)
         for _ in range(max_levels):
             self.coo.append((jnp.asarray(r.astype(np.int32)),
                              jnp.asarray(c.astype(np.int32)), m))
-            self.ell.append(build_ell(r, c, m))
+            self.sup.append(self._build_sup(r, c, m))
             if m <= coarse_size:
                 break
             lvl = AMGLevel(r, c, m, agg_row=ar, agg_col=ac,
@@ -188,25 +189,41 @@ class AMG:
         self.n_coarsest = self.coo[len(self.levels)][2]
 
     # -- per-PC-build value pass (jittable) -----------------------------
-    def _to_ell(self, k, vals):
-        """COO values -> (m, K) ELL values of level k (zero-padded)."""
-        perm, cols, K = self.ell[k]
-        vals_ext = jnp.concatenate(
-            [vals, jnp.zeros((1,), vals.dtype)]
+    def _build_sup(self, r, c, m):
+        """Supernode maps + scalar placement positions for one level
+        (la/superell.py: the TPU gather is per-row bound, so level
+        matvecs gather g-wide supernode rows instead of scalars)."""
+        from .superell import SuperMaps
+
+        maps = SuperMaps(r.astype(np.int64), c.astype(np.int64), m,
+                         self.g)
+        pos = jnp.asarray(
+            maps.scalar_positions(
+                r.astype(np.int64), c.astype(np.int64)
+            ).astype(np.int32)
         )
-        return vals_ext[perm].reshape(cols.shape[0], K)
+        return maps, pos
+
+    def _place(self, k, vals):
+        """COO values -> (ns, Kg, g, g) supernode values of level k."""
+        maps, pos = self.sup[k]
+        g = maps.g
+        out = jnp.zeros((maps.ns * maps.Kg * g * g,), vals.dtype)
+        out = out.at[pos].set(vals, unique_indices=True,
+                              mode="promise_in_bounds")
+        return out.reshape(maps.ns, maps.Kg, g, g)
 
     def build(self, vals):
         """Galerkin-coarsen the values, precompute the l1 smoothing
         diagonals and the dense inverse of the coarsest level; the
         returned pytree is everything v_cycle touches per application.
-        Level matvec values are stored in ELL layout (gather + dense
-        K-reduction — no scatter; the COO segment_sum matvec measured
-        17.9 ms per V-cycle at 78k DOF, dominating the whole Schur PC)."""
+        Level matvec values are stored in the supernode layout (the COO
+        segment_sum matvec measured 17.9 ms per V-cycle at 78k DOF and
+        the scalar-gather ELL 11.8 ms, dominating the whole Schur PC)."""
         out = []
         for k, lvl in enumerate(self.levels):
-            ev = self._to_ell(k, vals)
-            out.append((ev, self._l1_diag_ell(ev)))
+            ev = self._place(k, vals)
+            out.append((ev, self._l1_diag_sup(k, ev)))
             vals = lvl.coarsen_vals(vals)
         row, col, m = self.coo[len(self.levels)]
         A = jnp.zeros((m, m), vals.dtype).at[row, col].set(vals)
@@ -216,17 +233,27 @@ class AMG:
         # (TPU-hostile); inverting once per PC build is cheap at m<=300
         return out, jnp.linalg.inv(A)
 
-    def _matvec(self, k, ell_vals, x):
-        _, cols, K = self.ell[k]
-        x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-        return jnp.sum(ell_vals * x_ext[cols], axis=1)
+    def _matvec(self, k, sup_vals, x):
+        maps, _ = self.sup[k]
+        g, ns = maps.g, maps.ns
+        m = maps.n
+        xp = jnp.zeros((ns * g,), x.dtype).at[:m].set(x)
+        x_sup = jnp.concatenate(
+            [xp.reshape(ns, g), jnp.zeros((1, g), x.dtype)]
+        )
+        xg = x_sup[maps.sup_cols]  # (ns, Kg, g)
+        y = jnp.einsum("skab,skb->sa", sup_vals, xg,
+                       preferred_element_type=x.dtype)
+        return y.reshape(-1)[:m]
 
-    def _l1_diag_ell(self, ell_vals):
+    def _l1_diag_sup(self, k, sup_vals):
         """l1-Jacobi smoothing diagonal d_i = sum_j |A_ij|: a convergent
         smoother for SPD operators and robust under the mild asymmetry
         of the SELFP Schur matrix (plain diag-Jacobi measured
         rho = 1.54 on DFG — divergent)."""
-        return jnp.maximum(jnp.sum(jnp.abs(ell_vals), axis=1), 1e-30)
+        maps, _ = self.sup[k]
+        d = jnp.sum(jnp.abs(sup_vals), axis=(1, 3)).reshape(-1)
+        return jnp.maximum(d[: maps.n], 1e-30)
 
     def v_cycle(self, built, b, diag0=None):
         """One V(n_smooth, n_smooth) cycle for A x = b, x0 = 0.
@@ -283,21 +310,38 @@ class BlockAMG(AMG):
         self.d = int(d)
         super().__init__(row, col, n, coarse_size=coarse_size, **kw)
 
-    def _to_ell_block(self, k, vals):
-        perm, cols, K = self.ell[k]
-        d = self.d
-        vals_ext = jnp.concatenate(
-            [vals, jnp.zeros((1, d, d), vals.dtype)]
+    def _block_pos(self, k):
+        """Per-level block placement positions (lazy, cached)."""
+        if not hasattr(self, "_bpos"):
+            self._bpos = {}
+        if k not in self._bpos:
+            maps, _ = self.sup[k]
+            row, col, _ = self.coo[k]
+            self._bpos[k] = jnp.asarray(
+                maps.block_positions_uniform(
+                    np.asarray(row).astype(np.int64),
+                    np.asarray(col).astype(np.int64), self.d,
+                ).astype(np.int32)
+            )
+        return self._bpos[k]
+
+    def _place_block(self, k, vals):
+        maps, _ = self.sup[k]
+        gd = maps.g * self.d
+        out = jnp.zeros((maps.ns * maps.Kg * gd * gd,), vals.dtype)
+        out = out.at[self._block_pos(k).reshape(-1)].set(
+            vals.reshape(-1), unique_indices=True,
+            mode="promise_in_bounds",
         )
-        return vals_ext[perm].reshape(cols.shape[0], K, d, d)
+        return out.reshape(maps.ns, maps.Kg, gd, gd)
 
     def build(self, vals):
         """vals: (nnz, d, d) block values on the finest graph."""
         d = self.d
         out = []
         for k, lvl in enumerate(self.levels):
-            ev = self._to_ell_block(k, vals)
-            out.append((ev, self._l1_diag_block(ev)))
+            ev = self._place_block(k, vals)
+            out.append((ev, self._l1_diag_block(k, ev)))
             # block Galerkin: same entry maps, blocks summed wholesale
             v = vals[lvl.entry_order]
             vals = jox.segment_sum(
@@ -313,24 +357,25 @@ class BlockAMG(AMG):
         )
         return out, jnp.linalg.inv(A)
 
-    def _matvec_block(self, k, ell_vals, x):
-        """x: (n*d,) flat -> (n*d,) flat."""
-        _, cols, K = self.ell[k]
-        m = cols.shape[0]
-        xn = x.reshape(m, self.d)
-        x_ext = jnp.concatenate(
-            [xn, jnp.zeros((1, self.d), xn.dtype)]
+    def _matvec_block(self, k, sup_vals, x):
+        """x: (m*d,) flat -> (m*d,) flat."""
+        maps, _ = self.sup[k]
+        g, ns, m, d = maps.g, maps.ns, maps.n, self.d
+        xp = jnp.zeros((ns * g * d,), x.dtype).at[: m * d].set(x)
+        x_sup = jnp.concatenate(
+            [xp.reshape(ns, g * d), jnp.zeros((1, g * d), x.dtype)]
         )
+        xg = x_sup[maps.sup_cols]  # (ns, Kg, g*d)
         y = jnp.einsum(
-            "mkab,mkb->ma", ell_vals, x_ext[cols],
-            preferred_element_type=xn.dtype,
+            "skab,skb->sa", sup_vals, xg,
+            preferred_element_type=x.dtype,
         )
-        return y.reshape(-1)
+        return y.reshape(-1)[: m * d]
 
-    def _l1_diag_block(self, ell_vals):
-        # (m, K, d, d) -> (m*d,) row sums of |A_ij|_1 per component row
-        dsum = jnp.sum(jnp.abs(ell_vals), axis=(1, 3))
-        return jnp.maximum(dsum, 1e-30).reshape(-1)
+    def _l1_diag_block(self, k, sup_vals):
+        maps, _ = self.sup[k]
+        dsum = jnp.sum(jnp.abs(sup_vals), axis=(1, 3)).reshape(-1)
+        return jnp.maximum(dsum[: maps.n * self.d], 1e-30)
 
     def v_cycle(self, built, b, diag0=None):
         level_vals, coarse_inv = built

@@ -40,6 +40,14 @@ class NewtonParams:
     ew_eta_max: float = 0.9
     ew_gamma: float = 0.9
     ew_alpha: float = 2.0
+    # Lag the preconditioner: build it once from the initial state and
+    # reuse it for every Newton iteration of the step (PETSc
+    # -snes_lag_preconditioner). The Jacobian ACTION stays exact per
+    # iteration; only the PC (SELFP assembly + AMG hierarchies — the
+    # dominant per-iteration build cost) goes stale, which flexible
+    # GMRES absorbs. Within one transient time step the state moves
+    # little, so iteration counts barely change.
+    pc_lag: bool = False
 
 
 def newton_solve(
@@ -78,6 +86,10 @@ def newton_solve(
     f0norm = jnp.linalg.norm(f0)
     ftol = jnp.maximum(p.atol, p.rtol * f0norm)
 
+    M_lagged = None
+    if p.pc_lag and make_operator is not None:
+        _, M_lagged = make_operator(x0)
+
     def cond(state):
         x, f, fnorm, it, ksp_total, done, lsfail, eta = state
         return jnp.logical_and(jnp.logical_not(done), it < p.max_it)
@@ -87,6 +99,8 @@ def newton_solve(
 
         if make_operator is not None:
             matvec, M = make_operator(x)
+            if M_lagged is not None:
+                M = M_lagged
         else:
             _, matvec = jax.linearize(F, x)
             M = make_precond(x) if make_precond is not None else None

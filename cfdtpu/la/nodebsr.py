@@ -32,7 +32,7 @@ from jax import ops as jox
 
 
 class NodeBSR:
-    def __init__(self, form):
+    def __init__(self, form, supernode_g: int = 4):
         V, Q = form.V, form.Q
         if not np.array_equal(np.asarray(V.dofmap), np.asarray(Q.dofmap)):
             raise ValueError(
@@ -112,6 +112,24 @@ class NodeBSR:
             cols_ell.reshape(n_nodes, K).astype(np.int32)
         )
 
+        # supernode layout (la/superell.py): g consecutive (Hilbert-
+        # ordered) nodes per gathered row — the per-row-bound TPU gather
+        # then moves g*bs-wide rows. Fill overhead is repaid by streaming.
+        self.g = int(supernode_g) if supernode_g else 1
+        if self.g > 1:
+            from .superell import SuperMaps
+
+            self._sup = SuperMaps(row_np, col_np, n_nodes, self.g)
+            gbs = self.g * self.bs
+            if self._sup.ns * self._sup.Kg * gbs * gbs >= 2 ** 31:
+                raise ValueError("supernode layout exceeds int32 range")
+            self._sup_pos = jnp.asarray(
+                self._sup.block_positions(row_np, col_np, d)
+                .astype(np.int32)
+            )
+        else:
+            self._sup = None
+
     # -- assembly (runs per Newton iteration, jittable) -----------------
     def assemble(self, A_cells, A_blocks):
         """Element blocks -> assembled (n_blocks, bs, bs) values."""
@@ -127,6 +145,19 @@ class NodeBSR:
             )
         entries = jnp.concatenate(ent, axis=0)
         vals = self._assemble_scatter(entries)
+        if self._sup is not None:
+            # supernode placement: unique-index scatter of the block
+            # entries into the (ns, Kg, gbs, gbs) layout
+            gbs = self.g * self.bs
+            flat = jnp.zeros(
+                (self._sup.ns * self._sup.Kg * gbs * gbs,), vals.dtype
+            )
+            flat = flat.at[self._sup_pos.reshape(-1)].set(
+                vals.reshape(-1), unique_indices=True,
+                mode="promise_in_bounds",
+            )
+            vals_sup = flat.reshape(self._sup.ns, self._sup.Kg, gbs, gbs)
+            return {"coo": vals, "sup": vals_sup}
         # pack COO (diagonal/SELFP paths) + ELL (scatter-free applies)
         vals_ext = jnp.concatenate(
             [vals, jnp.zeros((1, self.bs, self.bs), vals.dtype)], axis=0
@@ -159,11 +190,13 @@ class NodeBSR:
         return apply
 
     def pc_cast(self, vals, dtype=jnp.bfloat16):
-        """A preconditioner-side view of the pack with the streamed ELL
-        values in bf16 (half the PC matrix traffic; the flexible outer
-        GMRES absorbs the inexactness — applies accumulate in f32 via
-        preferred_element_type). COO values stay full precision: the
-        SELFP assembly and diagonals feed the AMG setup."""
+        """A preconditioner-side view of the pack with the streamed
+        apply-path values in bf16 (half the PC matrix traffic; the
+        flexible outer GMRES absorbs the inexactness — applies
+        accumulate in f32 via preferred_element_type). COO values stay
+        full precision: the SELFP assembly and diagonals feed AMG."""
+        if "sup" in vals:
+            return {"coo": vals["coo"], "sup": vals["sup"].astype(dtype)}
         return {"coo": vals["coo"], "ell": vals["ell"].astype(dtype)}
 
     # -- form-operator API (vals passed where the form takes A_cells) ---
@@ -190,7 +223,51 @@ class NodeBSR:
         )
         return x_ext[self._ell_cols]
 
+    # -- supernode-row construction (pure reshapes + one pad) ------------
+    def _sup_rows_u(self, v_u):
+        """u flat (n*d,) -> (ns+1, g*d) supernode rows (+ zero sentinel)."""
+        g, ns, n, d = self.g, self._sup.ns, self.n_nodes, self.dim
+        up = jnp.zeros((ns * g * d,), v_u.dtype).at[: n * d].set(v_u)
+        return jnp.concatenate(
+            [up.reshape(ns, g * d), jnp.zeros((1, g * d), v_u.dtype)]
+        )
+
+    def _sup_rows_p(self, v_p):
+        g, ns, n = self.g, self._sup.ns, self.n_nodes
+        pp = jnp.zeros((ns * g,), v_p.dtype).at[:n].set(v_p)
+        return jnp.concatenate(
+            [pp.reshape(ns, g), jnp.zeros((1, g), v_p.dtype)]
+        )
+
+    def _sup_rows(self, v_flat):
+        return jnp.concatenate(
+            [self._sup_rows_u(v_flat[: self.n_u_flat])[:, :],
+             self._sup_rows_p(v_flat[self.n_u_flat:])], axis=1
+        )
+
+    def _sup_gather(self, rows):
+        return rows[self._sup.sup_cols]  # (ns, Kg, width)
+
+    def _from_sup_u(self, y_u):
+        """(ns, g*d) -> u flat (n*d,)."""
+        n, d = self.n_nodes, self.dim
+        return y_u.reshape(-1)[: n * d]
+
+    def _from_sup_p(self, y_p):
+        return y_p.reshape(-1)[: self.n_nodes]
+
     def apply_element_matrices(self, vals, _A_blocks, v_flat):
+        if "sup" in vals:
+            gd = self.g * self.dim
+            xg = self._sup_gather(self._sup_rows(v_flat))
+            y = jnp.einsum(
+                "skrc,skc->sr", vals["sup"], xg,
+                preferred_element_type=v_flat.dtype,
+            )
+            return jnp.concatenate(
+                [self._from_sup_u(y[:, :gd]),
+                 self._from_sup_p(y[:, gd:])]
+            )
         xn = self._to_nodes(v_flat)
         yn = jnp.einsum(
             "nkab,nkb->na", vals["ell"], self._ell_gather(xn),
@@ -200,6 +277,23 @@ class NodeBSR:
 
     def apply_sub_block(self, vals, _A_blocks, v, which: str):
         d = self.dim
+        if "sup" in vals:
+            gd = self.g * d
+            rs = slice(0, gd) if which[0] == "u" else slice(gd, None)
+            cs = slice(0, gd) if which[1] == "u" else slice(gd, None)
+            rows = (
+                self._sup_rows_u(v) if which[1] == "u"
+                else self._sup_rows_p(v)
+            )
+            y = jnp.einsum(
+                "skrc,skc->sr", vals["sup"][:, :, rs, cs],
+                self._sup_gather(rows),
+                preferred_element_type=v.dtype,
+            )
+            return (
+                self._from_sup_u(y) if which[0] == "u"
+                else self._from_sup_p(y)
+            )
         rs = slice(0, d) if which[0] == "u" else slice(d, d + 1)
         cs = slice(0, d) if which[1] == "u" else slice(d, d + 1)
         xn = (
@@ -358,9 +452,19 @@ class NodeBSR:
 
     def apply_p_coupled(self, vals, v_p):
         """One fused pass for the SELFP Schur action: returns
-        (Aup v_p, App v_p) from a single gather over the whole (bs x 1)
+        (Aup v_p, App v_p) from a single gather over the whole p
         block column, instead of two separate sub-block applies."""
         d = self.dim
+        if "sup" in vals:
+            gd = self.g * d
+            xg = self._sup_gather(self._sup_rows_p(v_p))  # (ns, Kg, g)
+            y = jnp.einsum(
+                "skrc,skc->sr", vals["sup"][:, :, :, gd:], xg,
+                preferred_element_type=v_p.dtype,
+            )
+            return (
+                self._from_sup_u(y[:, :gd]), self._from_sup_p(y[:, gd:])
+            )
         xg = self._ell_gather(v_p[:, None])[:, :, 0]  # (n, K)
         yn = jnp.einsum(
             "nka,nk->na", vals["ell"][:, :, :, d], xg,

@@ -26,6 +26,43 @@ from ..elements.cells import (
 )
 
 
+def _sfc_key(points: np.ndarray) -> np.ndarray:
+    """Space-filling-curve key per point: 2D Hilbert (best locality for
+    the supernode grouping) or 3D Morton."""
+    n, gdim = points.shape
+    bits = 14 if gdim == 2 else 10
+    q = np.empty((gdim, n), dtype=np.int64)
+    for d in range(gdim):
+        x = points[:, d]
+        r = np.ptp(x)
+        r = r if r > 0 else 1.0
+        q[d] = np.clip(
+            ((x - x.min()) / r * (2 ** bits - 1)).astype(np.int64),
+            0, 2 ** bits - 1,
+        )
+    if gdim == 3:
+        z = np.zeros(n, dtype=np.int64)
+        for b in range(bits):
+            for d in range(3):
+                z |= ((q[d] >> b) & 1) << (3 * b + d)
+        return z
+    # 2D Hilbert (vectorized d2xy-inverse)
+    X, Y = q[0].copy(), q[1].copy()
+    d = np.zeros(n, dtype=np.int64)
+    s = 2 ** (bits - 1)
+    while s > 0:
+        rx = ((X & s) > 0).astype(np.int64)
+        ry = ((Y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        X2 = np.where(flip, s - 1 - X, X)
+        Y2 = np.where(flip, s - 1 - Y, Y)
+        X, Y = np.where(swap, Y2, X2), np.where(swap, X2, Y2)
+        s //= 2
+    return d
+
+
 @dataclass
 class Mesh:
     points: np.ndarray  # (n_points, gdim) float
@@ -42,10 +79,35 @@ class Mesh:
         self.cell_type = as_cell_type(self.cell_type)
         self.points = np.ascontiguousarray(self.points, dtype=self.dtype)
         self.cells = np.ascontiguousarray(self.cells, dtype=np.int32)
+        self._reorder_locality()
         if self.facets is None:
             self._build_topology()
         if self.facet_tags is None:
             self.facet_tags = np.zeros(len(self.facets), dtype=np.int32)
+
+    def _reorder_locality(self) -> None:
+        """Renumber vertices along a space-filling curve (Hilbert in 2D,
+        Morton in 3D). Spatially-near nodes get near indices, which is
+        what the supernode-blocked sparse layouts (la/superell.py) need:
+        the TPU gather cost is per-ROW, so grouping g consecutive node
+        ids into one gathered row only pays off when consecutive ids are
+        mesh neighbours. Deterministic; disable with CFDTPU_NO_REORDER=1."""
+        import os
+
+        if os.environ.get("CFDTPU_NO_REORDER") or len(self.points) < 64:
+            return
+        key = _sfc_key(self.points)
+        perm = np.argsort(key, kind="stable").astype(np.int64)
+        inv = np.empty(len(perm), dtype=np.int64)
+        inv[perm] = np.arange(len(perm))
+        self.points = np.ascontiguousarray(self.points[perm])
+        self.cells = np.ascontiguousarray(
+            inv[self.cells].astype(np.int32)
+        )
+        if self.facets is not None:
+            self.facets = np.ascontiguousarray(
+                inv[self.facets].astype(np.int32)
+            )
 
     # ------------------------------------------------------------------
     @property

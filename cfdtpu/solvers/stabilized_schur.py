@@ -69,6 +69,7 @@ class Solver(SolverBase):
         pc_inner_method: str = "amg_p",
         operator_format: str = "node_bsr",
         snes_ksp_ew: bool = False,
+        snes_lag_preconditioner: bool = True,
         predictor: str = "previous",
         pc_dtype: str = "same",
         pc_amg_pairwise: bool = False,
@@ -121,6 +122,7 @@ class Solver(SolverBase):
             ksp_restart=int(ksp_restart),
             ksp_maxiter=int(ksp_max_it),
             ew=bool(snes_ksp_ew),
+            pc_lag=bool(snes_lag_preconditioner),
         )
         self.last_stats: dict = {}
         self.step_count = 0

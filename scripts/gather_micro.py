@@ -24,13 +24,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def bench(fn, *args, reps=50):
+    """Readback-terminated timing: on the axon backend,
+    block_until_ready acks optimistically, so a scalar fetch is the only
+    trustworthy fence. The measured readback roundtrip (~52 ms) is
+    subtracted."""
     y = fn(*args)
-    jax.block_until_ready(y)
+    float(jnp.sum(y))
+    t0 = time.perf_counter()
+    float(jnp.sum(fn(*args)))
+    rt = time.perf_counter() - t0  # 1 exec + readback
     t0 = time.perf_counter()
     for _ in range(reps):
         y = fn(*args)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / reps
+    float(jnp.sum(y))
+    tot = time.perf_counter() - t0
+    # tot = reps * exec + readback; rt = exec + readback
+    return max((tot - rt) / (reps - 1), 1e-9)
 
 
 def xla_gather(n_src, n_idx):
@@ -78,11 +87,11 @@ def pallas_patch_spmv(n_patches, K, reps=50):
 
     # correctness
     y = np.asarray(f(x, vals, idx))
-    xg = np.take_along_axis(
-        np.asarray(x)[:, None, :].repeat(L, 1),
-        np.asarray(idx).transpose(0, 2, 1), axis=2
-    ).transpose(0, 2, 1)
-    ref = (np.asarray(vals) * xg).sum(axis=2)
+    xn, vn, idn = np.asarray(x), np.asarray(vals), np.asarray(idx)
+    ref = np.zeros((P, L), np.float32)
+    for k in range(K):
+        xg = np.take_along_axis(xn, idn[:, :, k], axis=1)
+        ref += vn[:, :, k] * xg
     ok = np.allclose(y, ref, atol=1e-4)
 
     t = bench(f, x, vals, idx, reps=reps)
