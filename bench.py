@@ -24,9 +24,18 @@ def _bench_dfg(steps: int):
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
 
     res_scale = float(os.environ.get("BENCH_RES_SCALE", "1.0"))
+    kw = {}
+    if os.environ.get("BENCH_PC_METHOD"):
+        kw["pc_inner_method"] = os.environ["BENCH_PC_METHOD"]
+    if os.environ.get("BENCH_PC_INNER_U"):
+        kw["pc_inner_u"] = int(os.environ["BENCH_PC_INNER_U"])
+    if os.environ.get("BENCH_PC_INNER_P"):
+        kw["pc_inner_p"] = int(os.environ["BENCH_PC_INNER_P"])
+    if os.environ.get("BENCH_PC_DTYPE"):
+        kw["pc_dtype"] = os.environ["BENCH_PC_DTYPE"]
     sc = DFG1Benchmark(
         "stabilized_schur", dt=0.05, T=1e9, res_scale=res_scale,
-        dtype="auto",
+        dtype="auto", **kw,
     )
     s = sc.solver
     s.solveStep()  # compile + warmup

@@ -29,10 +29,11 @@ from jax.experimental.shard_map import shard_map
 from ..forms import StabilizedNSForm
 
 
-def make_device_mesh(n_devices: int | None = None) -> DeviceMesh:
+def make_device_mesh(n_devices: int | None = None,
+                     axis_name: str = "cells") -> DeviceMesh:
     devs = jax.devices()
     n = n_devices if n_devices is not None else len(devs)
-    return DeviceMesh(np.array(devs[:n]), ("cells",))
+    return DeviceMesh(np.array(devs[:n]), (axis_name,))
 
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:

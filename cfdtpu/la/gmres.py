@@ -26,7 +26,7 @@ def _identity_precond(v):
 
 
 def gmres_fixed(matvec, b, precond=None, m: int = 10,
-                reorth: bool = True):
+                reorth: bool = True, reduce=None):
     """Fixed-iteration right-preconditioned GMRES (no convergence test, no
     restart) — the inner solver for fieldsplit sub-blocks, where PETSc
     would run a tolerance-free inner KSP (reference uses inner GMRES+ASM
@@ -34,11 +34,12 @@ def gmres_fixed(matvec, b, precond=None, m: int = 10,
     XLA fuses the whole sweep; safe inside outer flexible GMRES.
     """
     M = precond if precond is not None else _identity_precond
+    R = reduce if reduce is not None else (lambda x: x)
     n = b.shape[0]
     dt = b.dtype
     tiny = jnp.asarray(jnp.finfo(dt).tiny ** 0.5, dt)
 
-    beta = jnp.linalg.norm(b)
+    beta = jnp.sqrt(R(jnp.vdot(b, b)))
     V = jnp.zeros((m + 1, n), dt).at[0].set(b / jnp.maximum(beta, tiny))
     Z = jnp.zeros((m, n), dt)
     H = jnp.zeros((m + 1, m), dt)
@@ -49,15 +50,15 @@ def gmres_fixed(matvec, b, precond=None, m: int = 10,
         w = matvec(z)
         Z = Z.at[j].set(z)
         mask = (jnp.arange(m + 1) <= j).astype(dt)
-        h1 = (V @ w) * mask
+        h1 = R(V @ w) * mask
         w = w - V.T @ h1
         if reorth:
-            h2 = (V @ w) * mask
+            h2 = R(V @ w) * mask
             w = w - V.T @ h2
             h = h1 + h2
         else:
             h = h1
-        wnorm = jnp.linalg.norm(w)
+        wnorm = jnp.sqrt(R(jnp.vdot(w, w)))
         h = h.at[j + 1].set(wnorm)
         V = V.at[j + 1].set(w / jnp.maximum(wnorm, tiny))
         H = H.at[:, j].set(h)
@@ -85,6 +86,7 @@ def fgmres(
     maxiter: int = 1000,
     rtol: float = 1e-5,
     atol: float = 0.0,
+    reduce=None,
 ):
     """Solve A x = b with flexible right-preconditioned GMRES.
 
@@ -103,18 +105,23 @@ def fgmres(
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = precond if precond is not None else _identity_precond
+    _red = reduce if reduce is not None else (lambda x: x)
+
+    def _norm(v):
+        return jnp.sqrt(_red(jnp.vdot(v, v)))
+
     m = int(restart)
     n = b.shape[0]
     dt = b.dtype
 
-    bnorm = jnp.linalg.norm(b)
+    bnorm = _norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
     tiny = jnp.asarray(jnp.finfo(dt).tiny ** 0.5, dt)
 
     def cycle(x):
         """One restart cycle; returns (x_new, resnorm, inner_iters)."""
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = _norm(r)
 
         V = jnp.zeros((m + 1, n), dt).at[0].set(r / jnp.maximum(beta, tiny))
         Z = jnp.zeros((m, n), dt)
@@ -135,12 +142,12 @@ def fgmres(
 
             # CGS2: project against V[0..j] (mask rows > j)
             mask = (jnp.arange(m + 1) <= j).astype(dt)
-            h1 = (V @ w) * mask
+            h1 = _red(V @ w) * mask
             w = w - V.T @ h1
-            h2 = (V @ w) * mask
+            h2 = _red(V @ w) * mask
             w = w - V.T @ h2
             h = h1 + h2
-            wnorm = jnp.linalg.norm(w)
+            wnorm = _norm(w)
             h = h.at[j + 1].set(wnorm)
             V = V.at[j + 1].set(w / jnp.maximum(wnorm, tiny))
 
@@ -194,7 +201,7 @@ def fgmres(
         x, res, j = cycle(x)
         return (x, res, it + j, j)
 
-    r0 = jnp.linalg.norm(b - matvec(x0))
+    r0 = _norm(b - matvec(x0))
     x, res, iters, _ = jax.lax.while_loop(
         outer_cond, outer_body, (x0, r0, jnp.array(0), jnp.array(0))
     )

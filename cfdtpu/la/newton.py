@@ -57,6 +57,8 @@ def newton_solve(
     make_precond: Callable | None = None,
     project: Callable | None = None,
     make_operator: Callable | None = None,
+    reduce: Callable | None = None,
+    shard: tuple | None = None,
 ):
     """Solve F(x) = 0 by Newton-Krylov.
 
@@ -82,8 +84,13 @@ def newton_solve(
         converged, ls_failures}.
     """
     p = params
+    R = reduce if reduce is not None else (lambda x: x)
+
+    def _norm(v):
+        return jnp.sqrt(R(jnp.vdot(v, v)))
+
     f0 = F(x0)
-    f0norm = jnp.linalg.norm(f0)
+    f0norm = _norm(f0)
     ftol = jnp.maximum(p.atol, p.rtol * f0norm)
 
     M_lagged = None
@@ -105,15 +112,36 @@ def newton_solve(
             _, matvec = jax.linearize(F, x)
             M = make_precond(x) if make_precond is not None else None
         ksp_rtol = eta if p.ew else p.ksp_rtol
-        dx, info = fgmres(
-            matvec,
-            -f,
-            precond=M,
-            restart=p.ksp_restart,
-            maxiter=p.ksp_maxiter,
-            rtol=ksp_rtol,
-            atol=p.ksp_atol,
-        )
+        if shard is not None:
+            # distributed linear solve: the Newton state x/F stays
+            # replicated, but the Krylov loop (basis storage, matvec,
+            # PC, dots) runs on per-shard local vectors — to_local
+            # slices this shard's rows, from_local all_gathers the
+            # result, and shard_reduce psums scalar products. The
+            # matvec/precond from make_operator must be LOCAL operators.
+            to_local, from_local, shard_reduce = shard
+            dx_loc, info = fgmres(
+                matvec,
+                to_local(-f),
+                precond=M,
+                restart=p.ksp_restart,
+                maxiter=p.ksp_maxiter,
+                rtol=ksp_rtol,
+                atol=p.ksp_atol,
+                reduce=shard_reduce,
+            )
+            dx = from_local(dx_loc)
+        else:
+            dx, info = fgmres(
+                matvec,
+                -f,
+                precond=M,
+                restart=p.ksp_restart,
+                maxiter=p.ksp_maxiter,
+                rtol=ksp_rtol,
+                atol=p.ksp_atol,
+                reduce=reduce,
+            )
         if project is not None:
             dx = project(dx)
 
@@ -129,18 +157,18 @@ def newton_solve(
             lam, _, _, tries = ls
             lam = lam * 0.5
             fnew = F(x + lam * dx)
-            return (lam, fnew, jnp.linalg.norm(fnew), tries + 1)
+            return (lam, fnew, _norm(fnew), tries + 1)
 
         f1 = F(x + dx)
         lam, fnew, nnew, tries = jax.lax.while_loop(
             ls_cond, ls_body, (jnp.asarray(1.0, x.dtype), f1,
-                               jnp.linalg.norm(f1), 0)
+                               _norm(f1), 0)
         )
         ls_failed = nnew > (1.0 - p.ls_alpha * lam) * fnorm
 
         x_new = x + lam * dx
-        step_small = lam * jnp.linalg.norm(dx) <= p.stol * jnp.maximum(
-            jnp.linalg.norm(x_new), 1e-30
+        step_small = lam * _norm(dx) <= p.stol * jnp.maximum(
+            _norm(x_new), 1e-30
         )
         # stol-based convergence only counts when the step also decreased
         # ||F|| — a tiny update out of a stagnated linear solve is

@@ -154,12 +154,29 @@ class Solver(SolverBase):
     # ------------------------------------------------------------------
     def setup(self, bcu, bcp, facet_tags=None, tags=None) -> None:
         self._setup_boundary_terms(facet_tags, tags)
+        # Distribution: the stabilized node-BSR family uses the
+        # dof-partitioned halo design (dist/halo.py — supernode rows
+        # sharded, FORWARD ghost exchange via boundary-pack all_gather,
+        # per-shard additive-Schwarz Schur PC). Non-BSR configurations
+        # (PCD, non-equal-order) fall back to the cell-sharded
+        # dof-replicated psum form.
+        self._use_halo = False
         if self.n_shards:
-            from ..dist import ShardedNSForm, make_device_mesh
-
-            self.form = ShardedNSForm(
-                self.form, make_device_mesh(int(self.n_shards))
+            halo_able = (
+                self.operator_format == "node_bsr"
+                and self.pc_type == "schur"
+                and np.array_equal(
+                    np.asarray(self.V.dofmap), np.asarray(self.Q.dofmap)
+                )
             )
+            if halo_able:
+                self._use_halo = True
+            else:
+                from ..dist import ShardedNSForm, make_device_mesh
+
+                self.form = ShardedNSForm(
+                    self.form, make_device_mesh(int(self.n_shards))
+                )
 
         self.bcu_d = [bc.getBC(self.V) for bc in bcu]
         self.bcp_d = [bc.getBC(self.Q) for bc in bcp]
@@ -258,8 +275,8 @@ class Solver(SolverBase):
         nodebsr = None
         if (
             self.operator_format == "node_bsr"
-            and self.n_shards is None
-            and pc_type in ("schur", "jacobi")
+            and (self.n_shards is None or self._use_halo)
+            and pc_type in ("schur", "jacobi", "asm")
         ):
             from ..la.nodebsr import NodeBSR
 
@@ -342,6 +359,15 @@ class Solver(SolverBase):
                         inner_method=self.pc_inner_method,
                     )
                     return matvec, precond
+                if pc_type == "asm" and nodebsr is not None:
+                    from ..la.asm import make_asm_precond
+
+                    precond = make_asm_precond(
+                        nodebsr, A_pc, bc_mask_np,
+                        n_sub=getattr(self, "asm_subdomains", 8),
+                        m_u=pc_inner_u, m_p=pc_inner_p,
+                    )
+                    return matvec, precond
                 if pc_type == "lsc":
                     from ..la.lsc import make_lsc_precond
 
@@ -397,7 +423,14 @@ class Solver(SolverBase):
             return u, p, r_u, r_p, stats
 
         self._step_fn = step  # unjitted, for driver compile checks
-        self._step = jax.jit(step)
+        if getattr(self, "_use_halo", False):
+            from ..dist.halo import build_halo_step
+
+            halo_step = build_halo_step(self)
+            self._step_fn = halo_step
+            self._step = jax.jit(halo_step)
+        else:
+            self._step = jax.jit(step)
 
     # ------------------------------------------------------------------
     def _bc_values(self):

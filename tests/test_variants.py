@@ -110,12 +110,23 @@ def test_ramping_scales_bc(tmp_path):
     assert np.allclose(u[lid_dofs, 0], 0.1, atol=1e-8)
 
 
-def test_aspin_alias(tmp_path):
+def test_aspin_matches_base(tmp_path):
+    """The ASPIN rebuild (nonlinear additive-Schwarz pre-sweeps + ASM
+    linear PC, solvers/stabilized_schur_aspin.py) must converge to the
+    same solution as the base Schur solver."""
     sc = LidDriven2DSimulation(
-        "stabilized_schur_aspin", dt=0.01, T=0.01, mu=0.1, nx=6
+        "stabilized_schur_aspin", dt=0.01, T=0.02, mu=0.1, nx=8
     )
     sc.solve(str(tmp_path))
     assert sc.solver.last_stats["converged"]
+    sc0 = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.02, mu=0.1, nx=8
+    )
+    sc0.solve(str(tmp_path) + "_base")
+    assert np.allclose(
+        np.asarray(sc.solver.u_sol), np.asarray(sc0.solver.u_sol),
+        atol=5e-6,
+    )
 
 
 def test_backflow_channel(tmp_path):
