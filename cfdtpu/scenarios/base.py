@@ -178,25 +178,38 @@ class Scenario(ABC):
         """Run the time loop; returns the output folder path."""
         from ..io import VTUSeriesWriter
 
+        from ..dist.process import _NullWriter, is_main_process
+
         solver = self.solver
         mesh = self.mesh
         T = self.T
-        os.makedirs(output_folder, exist_ok=True)
+        main = is_main_process()  # rank-0 I/O guard
+        # (reference: single-writer VTX files, src/scenario.py:151-164)
+        if main:
+            os.makedirs(output_folder, exist_ok=True)
 
         solver.initStressForm()
-        writers = {
-            "v": VTUSeriesWriter(f"{output_folder}/v", mesh, "velocity"),
-            "p": VTUSeriesWriter(f"{output_folder}/p", mesh, "pressure"),
-            "u_residual": VTUSeriesWriter(
-                f"{output_folder}/u_residual", mesh, "u_residual"
-            ),
-            "p_residual": VTUSeriesWriter(
-                f"{output_folder}/p_residual", mesh, "p_residual"
-            ),
-            "wss": VTUSeriesWriter(
-                f"{output_folder}/wss", mesh, "shear_stress"
-            ),
-        }
+        if main:
+            writers = {
+                "v": VTUSeriesWriter(
+                    f"{output_folder}/v", mesh, "velocity"
+                ),
+                "p": VTUSeriesWriter(
+                    f"{output_folder}/p", mesh, "pressure"
+                ),
+                "u_residual": VTUSeriesWriter(
+                    f"{output_folder}/u_residual", mesh, "u_residual"
+                ),
+                "p_residual": VTUSeriesWriter(
+                    f"{output_folder}/p_residual", mesh, "p_residual"
+                ),
+                "wss": VTUSeriesWriter(
+                    f"{output_folder}/wss", mesh, "shear_stress"
+                ),
+            }
+        else:
+            writers = {k: _NullWriter() for k in
+                       ("v", "p", "u_residual", "p_residual", "wss")}
 
         t = 0.0
         i = 0
@@ -221,13 +234,14 @@ class Scenario(ABC):
         # line-buffered: long runs killed by a timeout must still leave
         # their per-step stats behind (the checkpoint alone is not
         # enough to diagnose solver behaviour post-mortem)
-        stats_log = open(
-            f"{output_folder}/solver_stats.txt", "w", buffering=1
+        stats_log = (
+            open(f"{output_folder}/solver_stats.txt", "w", buffering=1)
+            if main else _NullWriter()
         )
         stats_log.write("# step t wall_s newton_iters ksp_iters fnorm\n")
 
         error_log = None
-        if self.has_exact_solution:
+        if self.has_exact_solution and main:
             error_log = open(f"{output_folder}/err.txt", "w", buffering=1)
             error = self.compute_error_at(t)
             error_log.write("t = %.3f: error = %.3g\n" % (t, error))
@@ -300,9 +314,10 @@ class Scenario(ABC):
 
         norm_v = float(jnp.sqrt(solver.l2_norm_sq(solver.u_sol)))
         norm_p = float(jnp.sqrt(solver.l2_norm_sq(solver.p_sol)))
-        with open(os.path.join(output_folder, "norms.txt"), "w") as f:
-            f.write(f"L2 norm of velocity: {norm_v}\n")
-            f.write(f"L2 norm of pressure: {norm_p}\n")
+        if main:
+            with open(os.path.join(output_folder, "norms.txt"), "w") as f:
+                f.write(f"L2 norm of velocity: {norm_v}\n")
+                f.write(f"L2 norm of pressure: {norm_p}\n")
 
         if error_log:
             error_log.close()
@@ -315,6 +330,10 @@ class Scenario(ABC):
     # npz of (u_sol, p_sol, u_prev, p_prev, t, step).
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str, t: float, step: int) -> None:
+        from ..dist.process import is_main_process
+
+        if not is_main_process():
+            return
         s = self.solver
         np.savez(
             path,

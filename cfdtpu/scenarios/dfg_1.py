@@ -117,6 +117,10 @@ class DFG1Benchmark(Scenario):
     # ------------------------------------------------------------------
     def solve(self, output_folder, afterStepCallback=None):
         out_path = super().solve(output_folder, afterStepCallback)
+        from ..dist.process import is_main_process
+
+        if not is_main_process():
+            return out_path
         self.write_benchmark_outputs(out_path)
         return out_path
 

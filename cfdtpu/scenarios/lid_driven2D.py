@@ -77,7 +77,10 @@ class LidDriven2DSimulation(Scenario):
 
     def solve(self, output_folder, afterStepCallback=None):
         out_path = super().solve(output_folder, afterStepCallback)
-        self.save_benchmark_plot(out_path)
+        from ..dist.process import is_main_process
+
+        if is_main_process():
+            self.save_benchmark_plot(out_path)
         return out_path
 
     def save_benchmark_plot(self, results_path):

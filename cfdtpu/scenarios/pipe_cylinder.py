@@ -98,3 +98,59 @@ class PipeCylinderSimulation(Scenario):
 
     def initial_velocity(self, x):
         return np.zeros((2, x.shape[1]), dtype=self._dtype)
+
+
+class PipeCylinder2D2Simulation(PipeCylinderSimulation):
+    """DFG 2D-2: unsteady periodic vortex shedding at Re = 100
+    (u_max = 1.5, U_mean = 1.0). Writes a per-step `bdforces.txt` with
+    columns `timestep time cd cl` — the same quantities as the FEATFLOW
+    reference series the reference repo ships as oracles
+    (/root/reference/src/benchmark_data/pipe_cylinder/bdforces_q2_lv3_dt3:1-8,
+    shipped subset: cfdtpu/validation/data/pipe_cylinder). Compare with
+    cfdtpu.validation.dfg.featflow_reference_stats / DFG_2D2_INTERVALS
+    (c_Dmax, c_Lmax, Strouhal) once the shedding is developed
+    (scripts/validate_dfg2d2.py)."""
+
+    def __init__(self, solver_name, dt, T, **kw):
+        kw.setdefault("u_max", 1.5)
+        kw.setdefault("mu", 1e-3)
+        self._force_rows = []
+        super().__init__(solver_name, dt, T, **kw)
+
+    def _coef_scale(self):
+        # c = 2 F / (rho U_mean^2 L), U_mean = 2/3 u_max, L = 0.1
+        um = 2.0 / 3.0 * self.u_max
+        return 2.0 / (float(self.solver.rho) * um * um * 0.1)
+
+    def solve(self, output_folder, afterStepCallback=None):
+        from ..postprocess.forces import BoundaryForce
+
+        bf = BoundaryForce(
+            self.solver.V, self.solver.Q,
+            self.mesh.tagged_facets(self.obstacle_marker),
+        )
+        scale = self._coef_scale()
+        self._force_rows = []
+
+        def record(t):
+            fd, fl = bf.drag_lift(
+                self.solver.u_sol, self.solver.p_sol, self.solver.mu
+            )
+            self._force_rows.append(
+                (len(self._force_rows), float(t),
+                 scale * float(fd), scale * float(fl))
+            )
+            if afterStepCallback:
+                afterStepCallback(t)
+
+        out_path = super().solve(output_folder, record)
+        from ..dist.process import is_main_process
+
+        if not is_main_process():
+            return out_path
+        with open(f"{out_path}/bdforces.txt", "w") as f:
+            f.write("# timestep time cd cl\n")
+            for row in self._force_rows:
+                f.write(f"{row[0]} {row[1]:.6f} {row[2]:.8e} "
+                        f"{row[3]:.8e}\n")
+        return out_path

@@ -207,7 +207,10 @@ class StenosisSimulation(Scenario):
     # ------------------------------------------------------------------
     def solve(self, output_folder, afterStepCallback=None):
         result = super().solve(output_folder, afterStepCallback)
-        self._compute_ffr(output_folder)
+        from ..dist.process import is_main_process
+
+        if is_main_process():
+            self._compute_ffr(output_folder)
         return result
 
     def _compute_ffr(self, output_folder):

@@ -196,6 +196,16 @@ class Simulation:
         else:
             save_path = os.path.abspath(save_path)
 
+        # rank-0 I/O guard + barrier before compute, mirroring the
+        # reference's `if rank == 0` + comm.barrier()
+        # (/root/reference/src/simulation.py:229,267)
+        from .dist.process import barrier, is_main_process
+
+        if not is_main_process():
+            barrier("simulation-setup")
+            self.scenario_instance.setup()
+            return self.scenario_instance.solve(output_folder=save_path)
+
         os.makedirs(save_path, exist_ok=True)
         with open(os.path.join(save_path, "simulation_params.txt"), "w") as f:
             f.write(f"Scenario: {self.scenario_name}\n")
@@ -231,6 +241,7 @@ class Simulation:
             f"'{self.scenario_name}'..."
         )
 
+        barrier("simulation-setup")
         self.scenario_instance.setup()
         result_path = self.scenario_instance.solve(output_folder=save_path)
         print(f"Simulation completed. Results saved to: {result_path}")

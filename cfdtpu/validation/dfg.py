@@ -56,3 +56,54 @@ def load_featflow_series(path: str) -> np.ndarray:
             except ValueError:
                 continue
     return np.asarray(rows)
+
+
+# ---------------------------------------------------------------------------
+# Shipped FEATFLOW reference data (DFG 2D-2: unsteady periodic, Re = 100)
+# ---------------------------------------------------------------------------
+# The reference repo consumes these as oracles
+# (/root/reference/src/benchmark_data/pipe_cylinder/bdforces_q2_lv3_dt3:1-8);
+# a subset (levels 2-4 at dt index 3, plus point values) ships in
+# validation/data/pipe_cylinder. Columns: timestep time bdc cD cL; the
+# series covers t in [0, 10] in the fully developed periodic regime.
+# Published 2D-2 intervals (Schaefer & Turek 1996): c_Dmax in
+# [3.22, 3.24], c_Lmax in [0.99, 1.01], Strouhal in [0.295, 0.305].
+
+DFG_2D2_INTERVALS = {
+    "cd_max": (3.2200, 3.2400),
+    "cl_max": (0.9900, 1.0100),
+    "strouhal": (0.2950, 0.3050),
+}
+
+
+def featflow_data_path(name: str) -> str:
+    """Absolute path of a shipped FEATFLOW file (e.g.
+    'bdforces_q2_lv3_dt3')."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data", "pipe_cylinder", name,
+    )
+
+
+def featflow_reference_stats(level: int = 3, dt_idx: int = 3) -> dict:
+    """Summary statistics of a shipped FEATFLOW bdforces series:
+    cd_min/max/mean, cl_min/max and the lift-based Strouhal number
+    St = f L / U_mean (L = 0.1, U_mean = 1.0 for 2D-2)."""
+    d = load_featflow_series(
+        featflow_data_path(f"bdforces_q2_lv{level}_dt{dt_idx}")
+    )
+    t, cd, cl = d[:, 1], d[:, 3], d[:, 4]
+    # lift zero crossings (rising) give the shedding period
+    s = np.where((cl[:-1] < 0) & (cl[1:] >= 0))[0]
+    st = np.nan
+    if len(s) >= 2:
+        period = (t[s[-1]] - t[s[0]]) / (len(s) - 1)
+        st = 0.1 * 1.0 / period  # f * L / U_mean
+    return {
+        "cd_min": float(cd.min()), "cd_max": float(cd.max()),
+        "cd_mean": float(cd.mean()),
+        "cl_min": float(cl.min()), "cl_max": float(cl.max()),
+        "strouhal": float(st), "t_range": (float(t[0]), float(t[-1])),
+    }

@@ -95,6 +95,15 @@ def main():
         "--hpc", action="store_true",
         help="Dispatch to a SLURM cluster (sbatch job generation)",
     )
+    hpc_parent.add_argument(
+        "--distributed", action="store_true",
+        help="Initialize jax.distributed (multi-process SPMD launch — "
+             "the mpirun -n N analogue; auto-detects the cluster env "
+             "unless --coordinator/--num_processes/--process_id given)",
+    )
+    hpc_parent.add_argument("--coordinator", default=None)
+    hpc_parent.add_argument("--num_processes", type=int, default=None)
+    hpc_parent.add_argument("--process_id", type=int, default=None)
 
     subparsers = parser.add_subparsers(dest="command", help="Command")
 
@@ -207,6 +216,13 @@ def main():
     )
 
     args, unknown = parser.parse_known_args()
+
+    if getattr(args, "distributed", False):
+        from cfdtpu.dist.process import init_distributed, process_index
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+        print(f"[distributed] process {process_index()} up")
 
     if getattr(args, "hpc", False):
         from cfdtpu.experiments.hpc import dispatch_hpc

@@ -1,0 +1,51 @@
+"""Offline DFG 2D-2 (unsteady, Re = 100) validation campaign.
+
+Runs the pipe_cylinder_2d2 scenario until the vortex shedding is
+developed, then compares c_Dmax / c_Lmax / Strouhal against the shipped
+FEATFLOW reference series and the published intervals
+(cfdtpu/validation/dfg.py DFG_2D2_INTERVALS).
+
+Usage: python scripts/validate_dfg2d2.py [res_scale] [T] [dt]
+Defaults: res_scale 0.5, T 12, dt 0.0025 — several hours on CPU, ~1 h on
+TPU at this size; raise res_scale for a smoke run.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    res_scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+    T = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
+    dt = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0025
+
+    from cfdtpu.scenarios.pipe_cylinder import PipeCylinder2D2Simulation
+    from cfdtpu.validation.dfg import (
+        DFG_2D2_INTERVALS, featflow_reference_stats,
+    )
+
+    sc = PipeCylinder2D2Simulation(
+        "stabilized_schur", dt=dt, T=T, res_scale=res_scale,
+    )
+    out = sc.solve("results_dfg2d2")
+    rows = np.asarray(sc._force_rows)
+    t, cd, cl = rows[:, 1], rows[:, 2], rows[:, 3]
+    # analyse the last 40% (developed regime)
+    k = int(0.6 * len(t))
+    t, cd, cl = t[k:], cd[k:], cl[k:]
+    s = np.where((cl[:-1] < 0) & (cl[1:] >= 0))[0]
+    st = np.nan
+    if len(s) >= 2:
+        st = 0.1 / ((t[s[-1]] - t[s[0]]) / (len(s) - 1))
+    print(f"computed:  cd_max={cd.max():.4f} cl_max={cl.max():.4f} "
+          f"St={st:.4f}")
+    ref = featflow_reference_stats(4, 3)
+    print(f"featflow:  cd_max={ref['cd_max']:.4f} "
+          f"cl_max={ref['cl_max']:.4f} St={ref['strouhal']:.4f}")
+    print(f"published: {DFG_2D2_INTERVALS}")
+    print(f"series written to {out}/bdforces.txt")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,40 @@ def test_dfg_functionals_plausible(dfg):
     assert abs(cl) < 1.0, cl
     dp = dfg.compute_pressure_diff()
     assert 0.05 < dp < 0.3, dp
+
+
+def test_featflow_reference_data():
+    """The shipped FEATFLOW DFG 2D-2 series (reference repo oracle,
+    /root/reference/src/benchmark_data/pipe_cylinder) loads and its
+    statistics are consistent with the published intervals."""
+    from cfdtpu.validation.dfg import (
+        DFG_2D2_INTERVALS, featflow_reference_stats,
+    )
+
+    st3 = featflow_reference_stats(3, 3)
+    st4 = featflow_reference_stats(4, 3)
+    lo, hi = DFG_2D2_INTERVALS["strouhal"]
+    assert lo <= st3["strouhal"] <= hi
+    assert lo <= st4["strouhal"] <= hi
+    # cd_max converges toward the published interval with level
+    cd_lo = DFG_2D2_INTERVALS["cd_max"][0]
+    assert abs(st4["cd_max"] - cd_lo) < abs(st3["cd_max"] - cd_lo)
+    assert 0.9 < st4["cl_max"] < 1.1
+
+
+def test_pipe_cylinder_2d2_records_forces(tmp_path):
+    """Two coarse steps of the unsteady 2D-2 scenario produce a finite
+    bdforces series with the FEATFLOW column convention."""
+    import numpy as np
+
+    from cfdtpu.scenarios.pipe_cylinder import PipeCylinder2D2Simulation
+
+    sc = PipeCylinder2D2Simulation(
+        "stabilized_schur", dt=0.01, T=0.02, res_scale=3.0,
+    )
+    out = sc.solve(str(tmp_path))
+    rows = np.asarray(sc._force_rows)
+    assert rows.shape[0] == 2 and rows.shape[1] == 4
+    assert np.isfinite(rows).all()
+    data = np.loadtxt(f"{out}/bdforces.txt")
+    assert data.shape == rows.shape
