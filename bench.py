@@ -5,11 +5,12 @@ BASELINE.json north star: DFG 2D-1 at ~1M DOF >= 5 time-steps/sec/chip.
 
 Env knobs:
     BENCH_SCENARIO   dfg (default) | lid | spmv
-    BENCH_RES_SCALE  DFG mesh scale; dofs ~ 9.8k / scale^2 (default 1.0 —
-                     conservative: the axon TPU worker in this environment
-                     has crashed under larger workloads)
+    BENCH_RES_SCALE  DFG mesh scale; dofs ~ 9.8k / scale^2 (default 0.3
+                     ~ 109k DOF — the round-2 supernode/AMG work made
+                     100k+ DOF routine; round 1 was pinned to 9.8k)
     BENCH_NX         lid mesh size (default 64)
     BENCH_STEPS      timed steps (default 3)
+    BENCH_PC_*       solver PC overrides (see _bench_dfg)
 """
 
 import json
@@ -23,7 +24,7 @@ import numpy as np
 def _bench_dfg(steps: int):
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
 
-    res_scale = float(os.environ.get("BENCH_RES_SCALE", "1.0"))
+    res_scale = float(os.environ.get("BENCH_RES_SCALE", "0.3"))
     kw = {}
     if os.environ.get("BENCH_PC_METHOD"):
         kw["pc_inner_method"] = os.environ["BENCH_PC_METHOD"]
@@ -77,7 +78,7 @@ def _bench_spmv(reps: int):
 
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
 
-    res_scale = float(os.environ.get("BENCH_RES_SCALE", "1.0"))
+    res_scale = float(os.environ.get("BENCH_RES_SCALE", "0.3"))
     sc = DFG1Benchmark(
         "stabilized_schur", dt=0.05, T=1e9, res_scale=res_scale,
         dtype="auto",
@@ -98,11 +99,19 @@ def _bench_spmv(reps: int):
         bsr = NodeBSR(form)
         vals = jax.jit(bsr.assemble)(A_cells, A_blocks)
         mv = jax.jit(lambda v: bsr.apply_element_matrices(vals, (), v))
-        n_ell = bsr.n_nodes * bsr.K
-        nbytes = vals["ell"].size * itemsize   # ELL block values (dominant)
-        nbytes += n_ell * 4                    # ELL column indices
-        nbytes += 2 * n_ell * bsr.bs * itemsize  # gather-in + row out
-        label = f"spmv_bsr_{bsr.n_blocks}blk"
+        if "sup" in vals:  # supernode layout (la/superell.py)
+            key = "sup"
+            n_rows = bsr._sup.ns * bsr._sup.Kg
+            row_w = bsr.g * bsr.bs
+            label = f"spmv_sup_{bsr.n_blocks}blk"
+        else:
+            key = "ell"
+            n_rows = bsr.n_nodes * bsr.K
+            row_w = bsr.bs
+            label = f"spmv_bsr_{bsr.n_blocks}blk"
+        nbytes = vals[key].size * itemsize      # block values (dominant)
+        nbytes += n_rows * 4                    # column indices
+        nbytes += 2 * n_rows * row_w * itemsize  # gather-in + row out
     else:
         mv = jax.jit(
             lambda v: form.apply_element_matrices(A_cells, A_blocks, v)
@@ -141,7 +150,7 @@ def main():
         os._exit(1)
 
     signal.signal(signal.SIGALRM, _on_timeout)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", "1500")))
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", "2400")))
     try:
         if scenario == "lid":
             name, val, unit = _bench_lid(steps)

@@ -44,7 +44,8 @@ class SimpleBifurcationSimulation(Scenario):
         *,
         rho=None,
         mu=None,
-        mesh_path="src/geom/bifurcation.msh",
+        mesh_path=None,
+        mesh_h=0.35,
         dtype="auto",
         **kwargs,
     ):
@@ -52,6 +53,7 @@ class SimpleBifurcationSimulation(Scenario):
         self._bcu = None
         self._bcp = None
         self.mesh_path = mesh_path
+        self.mesh_h = float(mesh_h)
         self._dtype = resolve_dtype(dtype)
 
         Re = self.rho_real * self.U_c * self.L_c / self.mu_real
@@ -72,14 +74,23 @@ class SimpleBifurcationSimulation(Scenario):
     @property
     def mesh(self):
         if self._mesh is None:
-            try:
+            if self.mesh_path:
                 self._mesh = read_msh(self.mesh_path)
-            except Exception as e:
-                raise RuntimeError(
-                    f"Could not read {self.mesh_path}. The reference "
-                    f"builds this 3D geometry inline with gmsh; provide a "
-                    f"tagged bifurcation mesh via --mesh_path."
-                ) from e
+            else:
+                # native implicit-union Y-bifurcation (the reference
+                # reads a pre-built tagged simple_bifurcation.msh; this
+                # build generates the geometry in-framework,
+                # geom/implicit3d.py). Radii in r_mesh_in units.
+                from ..geom.implicit3d import bifurcation_mesh
+
+                r = self.r_mesh_in
+                self._mesh = bifurcation_mesh(
+                    r_in=r, r_out1=0.6 * r,
+                    r_out2=self.r_mesh_out2 / self.r_mesh_in * r
+                    if hasattr(self, "r_mesh_out2") else 0.35 * r,
+                    length=8 * r, branch_length=7 * r,
+                    h=self.mesh_h * r, dtype=self._dtype,
+                )
         return self._mesh
 
     @property

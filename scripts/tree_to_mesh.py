@@ -31,6 +31,14 @@ def main() -> int:
     ap.add_argument("--dilate", type=float, default=1.0)
     ap.add_argument("--thicken", type=float, default=0.0)
     ap.add_argument("--thicken-level", type=int, default=0)
+    ap.add_argument(
+        "--mode", choices=["2d", "3d"], default="2d",
+        help="2d: project + capsule-union triangle mesh; 3d: native "
+             "implicit-union tet mesh with inlet/outlet tagging (the "
+             "in-framework replacement for the reference's "
+             "CadQuery+gmsh graph_to_mesh nearest-surface pipeline, "
+             "graph_to_mesh.py:264-401)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -46,6 +54,44 @@ def main() -> int:
         wall_severity=args.thicken,
         wall_level_threshold=args.thicken_level,
     )
+
+    if args.mode == "3d":
+        from cfdtpu.geom.implicit3d import mesh_implicit_union
+
+        nodes = {nid: np.asarray(p, float)
+                 for nid, p in tree.nodes.items()}
+        segments = []
+        for e in tree.edges:
+            p0, p1 = nodes[e["from"]], nodes[e["to"]]
+            r = float(e["radius"])
+            segments.append((p0, p1, r, r))
+        root = tree.edges[0]
+        rdir = nodes[root["to"]] - nodes[root["from"]]
+        rdir = rdir / max(np.linalg.norm(rdir), 1e-30)
+        outlet_ends = []
+        term_set = set(tree.terminals)
+        for e in tree.edges:
+            if e["to"] in term_set:
+                d = nodes[e["to"]] - nodes[e["from"]]
+                d = d / max(np.linalg.norm(d), 1e-30)
+                outlet_ends.append((nodes[e["to"]], d))
+        r0 = float(root["radius"])
+        mesh = mesh_implicit_union(
+            segments, h=args.res * r0,
+            inlet_end=(nodes[root["from"]], -rdir),
+            outlet_ends=outlet_ends,
+        )
+        np.savez(
+            args.out,
+            points=mesh.points, cells=mesh.cells,
+            cell_type=str(mesh.cell_type), facet_tags=mesh.facet_tags,
+            facets=mesh.facets, facet_cells=mesh.facet_cells,
+            facet_local_index=mesh.facet_local_index,
+        )
+        print(f"wrote {args.out}: {mesh.num_cells} tets, "
+              f"{len(tree.edges)} branches, "
+              f"{len(outlet_ends)} outlets")
+        return 0
 
     # project to 2D (drop Z; reference treeToMesh/stenosis_with_tree
     # project the synthesized 3D graph the same way) and feed the

@@ -1,0 +1,51 @@
+"""DFG 2D-1 (steady, Re = 20) accuracy campaign driver.
+
+Marches the dfg_1 scenario to steady state and reports c_D, c_L
+(reaction-force evaluation) and dp against the published
+Schaefer-Turek intervals (cfdtpu/validation/dfg.py). Round-1 landed
+c_D inside the interval at 78k DOF with c_L +3.3% / dp -2.4% outside;
+this campaign pushes resolution (VERDICT round-2 item 6).
+
+Usage: python scripts/validate_dfg2d1.py [res_scale] [dt] [tol]
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    res_scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
+    dt = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
+    tol = float(sys.argv[3]) if len(sys.argv) > 3 else 5e-7
+
+    from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
+    from cfdtpu.validation.dfg import check_dfg_2d1
+
+    sc = DFG1Benchmark(
+        "stabilized_schur", dt=dt, T=1e9, res_scale=res_scale,
+        dtype="auto", early_stop_tolerance=tol,
+    )
+    t0 = time.time()
+    out = sc.solve("results_dfg2d1")
+    wall = time.time() - t0
+
+    fdr, flr = sc.compute_drag_lift(method="reaction")
+    fdl, fll = sc.compute_drag_lift(method="line")
+    dp = sc.compute_pressure_diff()
+    res = check_dfg_2d1(500 * fdr, 500 * flr, dp)
+    ndofs = sc.solver.V.num_global_dofs + sc.solver.Q.num_global_dofs
+    print(json.dumps({
+        "dofs": ndofs, "res_scale": res_scale, "dt": dt,
+        "steps": sc.solver.step_count, "wall_s": round(wall, 1),
+        "cd_reaction": 500 * fdr, "cl_reaction": 500 * flr,
+        "cd_line": 500 * fdl, "cl_line": 500 * fll, "dp": dp,
+        "check": {k: {"inside": v["inside"],
+                      "rel_err": round(v["rel_err"], 5)}
+                  for k, v in res.items()},
+    }, indent=1))
+    print(f"outputs in {out}")
+
+
+if __name__ == "__main__":
+    main()
