@@ -34,6 +34,12 @@ def _bench_dfg(steps: int):
         kw["pc_inner_p"] = int(os.environ["BENCH_PC_INNER_P"])
     if os.environ.get("BENCH_PC_DTYPE"):
         kw["pc_dtype"] = os.environ["BENCH_PC_DTYPE"]
+    if os.environ.get("BENCH_SCHUR_FACT"):
+        kw["pc_schur_fact"] = os.environ["BENCH_SCHUR_FACT"]
+    if os.environ.get("BENCH_EW"):
+        kw["snes_ksp_ew"] = True
+    if os.environ.get("BENCH_AMG_SMOOTH"):
+        kw["pc_amg_smooth"] = int(os.environ["BENCH_AMG_SMOOTH"])
     sc = DFG1Benchmark(
         "stabilized_schur", dt=0.05, T=1e9, res_scale=res_scale,
         dtype="auto", **kw,

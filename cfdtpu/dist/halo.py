@@ -47,6 +47,13 @@ from jax.experimental.shard_map import shard_map
 from .partition import make_device_mesh
 
 
+def _u_mask(solver, n, d):
+    m = np.zeros(n * d, dtype=bool)
+    for d0 in range(d):
+        m[solver.bc_dofs_u.astype(np.int64) * d + d0] = True
+    return m
+
+
 class HaloMaps:
     """Static partition + halo-exchange maps over the supernode graph."""
 
@@ -196,6 +203,25 @@ def build_halo_step(solver):
     bc_dofs_p = jnp.asarray(solver.bc_dofs_p)
     has_bc_u = len(solver.bc_dofs_u) > 0
     has_bc_p = len(solver.bc_dofs_p) > 0
+
+    # Two-level additive Schwarz: the per-shard S solves get a GLOBAL
+    # coarse-grid correction (Hilbert-contiguous chunks of c_sup
+    # supernodes per coarse dof, piecewise-constant transfer) — the
+    # textbook cure for one-level ASM iteration growth with shard count.
+    # The only extra collective is the psum of the (n_c,) coarse
+    # residual. Coarse operator = aggregated global SELFP matrix,
+    # inverted densely once per PC build.
+    c_sup = max(4, -(-maps.ns_pad // 2500))
+    n_c = -(-maps.ns_pad // c_sup)
+    bsr.sp_structure()
+    sp_row_np = np.asarray(bsr.sp_structure()[0], dtype=np.int64)
+    sp_col_np = np.asarray(bsr.sp_structure()[1], dtype=np.int64)
+    sp_aggr = jnp.asarray((sp_row_np // (g * c_sup)).astype(np.int32))
+    sp_aggc = jnp.asarray((sp_col_np // (g * c_sup)).astype(np.int32))
+    bc_mask_u_flat = jnp.asarray(
+        np.zeros(n_u_flat, dtype=bool) if solver.bc_dofs_u is None
+        else _u_mask(solver, n, d)
+    )
 
     # flat-layout BC mask -> supernode-row layout (ns_pad, gbs) -> local
     bc_mask_np = np.zeros(n_flat, dtype=bool)
@@ -369,6 +395,63 @@ def build_halo_step(solver):
                     ]  # (L, g)
                     dpp = jnp.where(jnp.abs(dpp) < 1e-30, 1.0, dpp)
 
+                    # ---- global coarse level for the S stage ----
+                    d_full = bsr.jacobian_diagonal(vals, ())
+                    d_u_g = d_full[:n_u_flat]
+                    inv_duu_g = jnp.where(
+                        bc_mask_u_flat, 0.0,
+                        1.0 / jnp.where(
+                            jnp.abs(d_u_g) < 1e-30, 1.0, d_u_g
+                        ),
+                    )
+                    sp_g = bsr.sp_vals(vals, inv_duu_g)  # replicated
+                    A_c = jnp.zeros(
+                        (n_c, n_c), sp_g.dtype
+                    ).at[sp_aggr, sp_aggc].add(sp_g)
+                    scale_c = jnp.max(jnp.abs(A_c))
+                    # aggregates of padding-only supernodes have zero
+                    # rows -> identity (their restricted residual is 0)
+                    dc = jnp.abs(jnp.diagonal(A_c))
+                    A_c = A_c + jnp.diag(
+                        jnp.where(dc < 1e-12 * scale_c, scale_c, 0.0)
+                    )
+                    if pin_pressure:
+                        # penalize the constant mode (A_c inherits the
+                        # pressure nullspace)
+                        A_c = A_c + (scale_c / n_c) * jnp.ones(
+                            (n_c, n_c), A_c.dtype
+                        )
+                    A_c = A_c + 1e-8 * scale_c * jnp.eye(
+                        n_c, dtype=A_c.dtype
+                    )
+                    A_c_inv = jnp.linalg.inv(A_c)
+                    agg_local = (
+                        s_idx * (L * g)
+                        + jnp.arange(L * g, dtype=s_idx.dtype)
+                    ) // (g * c_sup)
+                    pv_nodes = pval_loc.reshape(L, gbs)[:, gd:].reshape(
+                        -1
+                    )
+
+                    from jax import ops as jox
+
+                    dpp_flat = dpp.reshape(-1)
+
+                    def coarse_correct(r_p):
+                        """Global coarse correction applied to the
+                        OUTER residual's pressure part — the vector is
+                        a consistent distributed field, so the psum'd
+                        restriction is the true coarse residual. (A
+                        coarse term inside the per-shard S sweeps would
+                        psum UNRELATED local Krylov vectors — measured:
+                        Newton diverges.)"""
+                        rc = jox.segment_sum(
+                            r_p * pv_nodes, agg_local, num_segments=n_c
+                        )
+                        rc = reduce(rc)
+                        zc = A_c_inv @ rc
+                        return zc[agg_local] * pv_nodes
+
                     def S_loc(v_p):  # (L*g,)
                         xo = jnp.concatenate(
                             [jnp.zeros((L, gd), v_p.dtype),
@@ -387,9 +470,15 @@ def build_halo_step(solver):
                     def solve_S(r):
                         return gmres_fixed(
                             S_loc, r,
-                            precond=lambda v: v / dpp.reshape(-1),
+                            precond=lambda v: v / dpp_flat,
                             m=m_p, reorth=False,
                         )
+
+                    import os
+
+                    use_coarse = (
+                        os.environ.get("CFDTPU_HALO_COARSE") != "off"
+                    )
 
                     def precond(v_loc):
                         vv = v_loc.reshape(L, gbs)
@@ -403,6 +492,8 @@ def build_halo_step(solver):
                         a_zu = maps.matvec_rows_local(vloc, xo, lc_pc)
                         r_s = r_p - a_zu[:, gd:].reshape(-1)
                         z_p = solve_S(r_s)
+                        if use_coarse:
+                            z_p = z_p + coarse_correct(r_s)
                         xo2 = jnp.concatenate(
                             [jnp.zeros((L, gd), v_loc.dtype),
                              z_p.reshape(L, g)], axis=1,

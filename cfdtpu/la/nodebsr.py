@@ -385,7 +385,7 @@ class NodeBSR:
         sp = self._sp_scatter(contrib)
         return sp.at[self._sp_app_pos].add(vals[:, d, d])
 
-    def sp_amg(self, pairwise=False):
+    def sp_amg(self, pairwise=False, n_smooth=1):
         """Aggregation-MG hierarchy on the explicit SELFP graph
         (aggregates formed on the distance-1 node graph, see la/amg.py)."""
         if getattr(self, "_sp_amg_h", None) is None:
@@ -396,7 +396,7 @@ class NodeBSR:
                 np.asarray(sp_row), np.asarray(sp_col), self.n_nodes,
                 agg_row=np.asarray(self.block_row),
                 agg_col=np.asarray(self.block_col),
-                pairwise=pairwise,
+                pairwise=pairwise, n_smooth=int(n_smooth),
             )
         return self._sp_amg_h
 

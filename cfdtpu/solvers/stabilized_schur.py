@@ -73,9 +73,11 @@ class Solver(SolverBase):
         predictor: str = "previous",
         pc_dtype: str = "same",
         pc_amg_pairwise: bool = False,
+        pc_amg_smooth: int = 1,
         **kwargs,
     ):
         self.pc_amg_pairwise = bool(pc_amg_pairwise)
+        self.pc_amg_smooth = int(pc_amg_smooth)
         # "bf16": half the PC matrix traffic at +35% outer iterations
         # (measured on DFG 10k DOF; also 1.59 -> 1.19 steps/s on TPU at
         # that latency-bound size). Worth revisiting only for large,
@@ -290,7 +292,8 @@ class Solver(SolverBase):
                 # static SELFP sparsity + MG hierarchy must be built
                 # eagerly (numpy) — inside jit they would trace
                 nodebsr.sp_structure()
-                nodebsr.sp_amg(pairwise=self.pc_amg_pairwise)
+                nodebsr.sp_amg(pairwise=self.pc_amg_pairwise,
+                               n_smooth=self.pc_amg_smooth)
                 if self.pc_inner_method == "amg_up":
                     nodebsr.uu_amg()
         self._nodebsr = nodebsr

@@ -35,12 +35,14 @@ def run(res_scale, steps=3, **kw):
 
 def main():
     res_scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
-    for kw in (
-        {"pc_inner_p": 15},
-        {"pc_dtype": "bf16"},
-        {"pc_inner_method": "amg_up", "pc_inner_u": 4, "pc_inner_p": 15,
-         "pc_dtype": "bf16"},
-    ):
+    import json, os
+    cfgs = os.environ.get("SWEEP_CONFIGS")
+    cfgs = (json.loads(cfgs) if cfgs else [
+        {"pc_schur_fact": "lower"},
+        {"snes_ksp_ew": True},
+        {"pc_amg_smooth": 2},
+    ])
+    for kw in cfgs:
         try:
             run(res_scale, **kw)
         except Exception as e:

@@ -6,24 +6,31 @@ Schaefer-Turek intervals (cfdtpu/validation/dfg.py). Round-1 landed
 c_D inside the interval at 78k DOF with c_L +3.3% / dp -2.4% outside;
 this campaign pushes resolution (VERDICT round-2 item 6).
 
-Usage: python scripts/validate_dfg2d1.py [res_scale] [dt] [tol]
+Usage: python scripts/validate_dfg2d1.py [res_scale] [dt] [tol] [T]
+T caps the march (default 60 = 300 steps at dt 0.2: the Re=20 steady
+state is reached by t ~ 15; float32 runs may never hit a tight relative
+early-stop, so the cap bounds the campaign).
 """
 
 import json
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
     res_scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
     dt = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
-    tol = float(sys.argv[3]) if len(sys.argv) > 3 else 5e-7
+    tol = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-6
+    T = float(sys.argv[4]) if len(sys.argv) > 4 else 60.0
 
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
     from cfdtpu.validation.dfg import check_dfg_2d1
 
     sc = DFG1Benchmark(
-        "stabilized_schur", dt=dt, T=1e9, res_scale=res_scale,
+        "stabilized_schur", dt=dt, T=T, res_scale=res_scale,
         dtype="auto", early_stop_tolerance=tol,
     )
     t0 = time.time()
