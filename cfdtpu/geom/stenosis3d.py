@@ -90,3 +90,44 @@ def mesh_and_export(*args, **kwargs):
         "delegate to the offline gmsh pipeline "
         "(reference src/geom/stenosis/stenosis.py:337-420)"
     )
+
+
+def native_stenosis_mesh(
+    length: float = 10.0,
+    radius_in: float = 1.0,
+    radius_out: float = 0.8,
+    severity: float = 0.5,
+    slope: float = 0.3,
+    position: float = 5.0,
+    h: float | None = None,
+    n_axial: int = 48,
+    dtype=np.float64,
+):
+    """Native 3D stenosed-vessel tet mesh — no CadQuery/gmsh.
+
+    The axial radius law r(s) (stenosis_radius_law) is sampled into
+    n_axial short tapered capsules and meshed by the implicit-union
+    lattice cleaver (geom/implicit3d.py), with the reference tag
+    convention INLET=1 / OUTLET=2 / WALL=3. Cell size defaults to
+    0.35x the throat radius so the constriction is resolved."""
+    from .implicit3d import mesh_implicit_union
+
+    s = np.linspace(0.0, length, n_axial + 1)
+    r = stenosis_radius_law(
+        s, length, radius_in, radius_out, severity, slope, position
+    )
+    if h is None:
+        h = 0.35 * float(r.min())
+    segments = []
+    for i in range(n_axial):
+        p0 = np.array([s[i], 0.0, 0.0])
+        p1 = np.array([s[i + 1], 0.0, 0.0])
+        segments.append((p0, p1, float(r[i]), float(r[i + 1])))
+    return mesh_implicit_union(
+        segments, h,
+        inlet_end=(np.array([0.0, 0.0, 0.0]),
+                   np.array([-1.0, 0.0, 0.0])),
+        outlet_ends=[(np.array([length, 0.0, 0.0]),
+                      np.array([1.0, 0.0, 0.0]))],
+        dtype=dtype,
+    )

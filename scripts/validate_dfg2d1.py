@@ -24,14 +24,15 @@ def main():
     res_scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
     dt = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-6
-    T = float(sys.argv[4]) if len(sys.argv) > 4 else 60.0
+    T = float(sys.argv[4]) if len(sys.argv) > 4 else 18.0
+    extra = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {}
 
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
     from cfdtpu.validation.dfg import check_dfg_2d1
 
     sc = DFG1Benchmark(
         "stabilized_schur", dt=dt, T=T, res_scale=res_scale,
-        dtype="auto", early_stop_tolerance=tol,
+        dtype="auto", early_stop_tolerance=tol, **extra,
     )
     t0 = time.time()
     out = sc.solve("results_dfg2d1")

@@ -201,3 +201,27 @@ def test_simple_bifurcation_native_mesh(tmp_path):
     assert (tags == sc.inlet_marker).sum() > 0
     assert (tags == sc.outlet_marker).sum() > 0
     assert (tags == sc.outlet2_marker).sum() > 0
+
+
+def test_native_stenosis3d_mesh():
+    """Native 3D stenosed-vessel meshing (geom/stenosis3d.py
+    native_stenosis_mesh): tagged tets, constriction resolved near the
+    radius law (the reference needs CadQuery+gmsh offline for this,
+    /root/reference/src/geom/stenosis/stenosis.py)."""
+    import numpy as np
+
+    from cfdtpu.geom.stenosis3d import native_stenosis_mesh
+
+    m = native_stenosis_mesh(severity=0.5, h=0.18)
+    assert m.cells.shape[1] == 4
+    tags = m.facet_tags
+    assert (tags == 1).sum() > 0 and (tags == 2).sum() > 0
+    bd = np.unique(m.facets)
+    pts = m.points[bd]
+    near = np.abs(pts[:, 0] - 5.0) < 0.3
+    rr = np.sqrt(pts[near, 1] ** 2 + pts[near, 2] ** 2)
+    # throat wall within O(h) of the law's 0.45
+    assert rr.max() < 0.45 + 2 * 0.18
+    far = np.abs(pts[:, 0] - 1.0) < 0.3
+    rfar = np.sqrt(pts[far, 1] ** 2 + pts[far, 2] ** 2)
+    assert rfar.max() > 0.8  # un-constricted section stays wide
