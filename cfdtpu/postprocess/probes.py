@@ -76,3 +76,45 @@ def eval_at_points(space: FunctionSpace, fn, points) -> np.ndarray:
         dofs = space.dofmap[c]
         vals[i] = phi[0] @ fn[dofs]
     return vals
+
+
+def eval_at_points_quadratic(space: FunctionSpace, fn, points,
+                             radius_cells: float = 2.5) -> np.ndarray:
+    """Superconvergent point evaluation for scalar P1 fields: local
+    least-squares quadratic recovery around each probe.
+
+    The P1 interpolant is only O(h^2) pointwise and systematically
+    clips extrema in high-gradient regions — measured on the DFG dp
+    probes it biases the pressure difference low. Fitting the complete
+    quadratic (6 terms in 2D) to the nodal values within
+    radius_cells * h_local of the probe recovers the smooth field to
+    O(h^3) (Zienkiewicz-Zhu-style patch recovery at a point). The
+    reference evaluates p with dolfinx's cell-local interpolation
+    (/root/reference/src/scenarios/dfg_1.py:214 bb_tree point eval);
+    this is the accuracy upgrade knob on top of that parity.
+    """
+    mesh = space.mesh
+    assert space.num_components == 1 and mesh.gdim == 2
+    pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    fn = np.asarray(fn, dtype=np.float64)
+    coords = np.asarray(space.dof_coords, dtype=np.float64)
+    h = float(np.median(np.asarray(mesh.h())))
+    out = np.empty(len(pts))
+    for i, x0 in enumerate(pts):
+        r = radius_cells * h
+        for _ in range(6):  # widen until enough nodes for the fit
+            d2 = np.sum((coords - x0) ** 2, axis=1)
+            sel = d2 < r * r
+            if sel.sum() >= 12:
+                break
+            r *= 1.4
+        xs = (coords[sel] - x0) / r
+        w = (1.0 - np.sqrt(d2[sel]) / r) ** 2  # cosine-ish weights
+        A = np.stack([
+            np.ones(sel.sum()), xs[:, 0], xs[:, 1],
+            xs[:, 0] ** 2, xs[:, 0] * xs[:, 1], xs[:, 1] ** 2,
+        ], axis=1)
+        Aw = A * w[:, None]
+        coef, *_ = np.linalg.lstsq(Aw, fn[sel] * w, rcond=None)
+        out[i] = coef[0]  # value at the probe (xs = 0)
+    return out

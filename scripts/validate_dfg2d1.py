@@ -35,7 +35,7 @@ def main():
         dtype="auto", early_stop_tolerance=tol, **extra,
     )
     t0 = time.time()
-    out = sc.solve("results_dfg2d1")
+    out = sc.solve(f"results_dfg2d1_{res_scale}_{int(t0) % 100000}")
     wall = time.time() - t0
 
     fdr, flr = sc.compute_drag_lift(method="reaction")

@@ -225,3 +225,26 @@ def test_native_stenosis3d_mesh():
     far = np.abs(pts[:, 0] - 1.0) < 0.3
     rfar = np.sqrt(pts[far, 1] ** 2 + pts[far, 2] ** 2)
     assert rfar.max() > 0.8  # un-constricted section stays wide
+
+
+def test_quadratic_probe_recovery():
+    """eval_at_points_quadratic recovers a smooth field to higher order
+    than the P1 interpolant at the probe (the DFG dp accuracy knob)."""
+    import numpy as np
+
+    from cfdtpu.mesh import create_unit_square
+    from cfdtpu.postprocess.probes import (
+        eval_at_points, eval_at_points_quadratic,
+    )
+    from cfdtpu.spaces import FunctionSpace
+
+    mesh = create_unit_square(16, 16)
+    Q = FunctionSpace(mesh, degree=1)
+    x = np.asarray(Q.dof_coords)
+    f = np.sin(2.3 * x[:, 0]) * np.cos(1.7 * x[:, 1])
+    pts = np.array([[0.37, 0.53], [0.61, 0.29]])
+    exact = np.sin(2.3 * pts[:, 0]) * np.cos(1.7 * pts[:, 1])
+    e1 = np.abs(eval_at_points(Q, f, pts) - exact).max()
+    e2 = np.abs(eval_at_points_quadratic(Q, f, pts) - exact).max()
+    assert e2 < e1
+    assert e2 < 2e-4
