@@ -127,14 +127,23 @@ def _bench_spmv(reps: int):
         nbytes = nc * nloc * nloc * itemsize  # A stream (dominant)
         nbytes += 3 * nc * nloc * itemsize    # gather-in, out, scatter
         label = f"spmv_{nc}cells"
+    # readback-fenced timing: on the axon backend block_until_ready acks
+    # optimistically (PERF.md round-2 methodology note) — a scalar fetch
+    # is the only real fence. One fence per rep-loop; its ~52 ms
+    # roundtrip is measured separately and subtracted.
     y = mv(v)
-    y.block_until_ready()
-    reps = max(reps, 20)
+    float(jnp.sum(y))
+    t0 = time.perf_counter()
+    float(jnp.sum(mv(v)))
+    rt = time.perf_counter() - t0  # 1 exec + readback
+    reps = max(reps, 50)
     t0 = time.perf_counter()
     for _ in range(reps):
-        y = mv(y / jnp.linalg.norm(y))
-    y.block_until_ready()
-    elapsed = (time.perf_counter() - t0) / reps
+        y = mv(v)
+    float(jnp.sum(y))
+    elapsed = max(
+        (time.perf_counter() - t0 - rt) / (reps - 1), 1e-9
+    )
     return label, nbytes / elapsed / 1e9, "GB/s"
 
 
