@@ -74,8 +74,18 @@ class Solver(SolverBase):
         pc_dtype: str = "same",
         pc_amg_pairwise: bool = False,
         pc_amg_smooth: int = 1,
+        jit_const_args: bool = False,
         **kwargs,
     ):
+        # jit_const_args: pass the static index maps to the jitted step
+        # as arguments instead of closure constants — required beyond
+        # ~400k DOF where the embedded-constant HLO payload exceeds the
+        # remote-compile limit (utils/constargs.py, PERF.md).
+        import os as _os
+
+        self.jit_const_args = bool(jit_const_args) or (
+            _os.environ.get("CFDTPU_CONST_ARGS") == "1"
+        )
         self.pc_amg_pairwise = bool(pc_amg_pairwise)
         self.pc_amg_smooth = int(pc_amg_smooth)
         # "bf16": half the PC matrix traffic at +35% outer iterations
@@ -432,6 +442,19 @@ class Solver(SolverBase):
             halo_step = build_halo_step(self)
             self._step_fn = halo_step
             self._step = jax.jit(halo_step)
+        elif self.jit_const_args and nodebsr is not None:
+            from ..utils.constargs import make_const_wrapped
+
+            wrapped, consts = make_const_wrapped(
+                step, [form, nodebsr]
+            )
+            self._jit_consts = consts
+            jit_step = jax.jit(wrapped)
+
+            def step_with_consts(*args):
+                return jit_step(*args, self._jit_consts)
+
+            self._step = step_with_consts
         else:
             self._step = jax.jit(step)
 
