@@ -173,3 +173,51 @@ def test_distributed_two_process_launch(tmp_path):
 
     assert glob.glob(outs[0] + "/lid_driven2D/*/norms.txt")
     assert not glob.glob(outs[1] + "/**/norms.txt", recursive=True)
+
+
+def test_halo_step_on_channel():
+    """Halo path on a free-outflow channel (inlet Dirichlet, do-nothing
+    outlet, pressure nullspace from the numeric test) matches the serial
+    solve — the non-cavity BC configuration."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_variants import ChannelScenario, _parabolic
+
+    sc8 = ChannelScenario(
+        "stabilized_schur", dt=0.05, T=0.05,
+        inlet_velocity=_parabolic, n_shards=8,
+    )
+    assert sc8.solver._use_halo
+    sc0 = ChannelScenario(
+        "stabilized_schur", dt=0.05, T=0.05,
+        inlet_velocity=_parabolic,
+    )
+    sc8.solver.solveStep()
+    sc0.solver.solveStep()
+    assert sc8.solver.last_stats["converged"]
+    assert np.allclose(
+        np.asarray(sc8.solver.u_sol), np.asarray(sc0.solver.u_sol),
+        atol=5e-6,
+    )
+
+
+def test_const_args_step_matches():
+    """jit_const_args (utils/constargs.py) extracts the static maps as
+    jit arguments and reproduces the standard step bit-for-bit-ish —
+    the huge-mesh compile path (PERF.md 1M-DOF blocker)."""
+    import os
+
+    from __graft_entry__ import _build
+
+    s0, a0 = _build(nx=14, dtype=np.float64)
+    u0, *_ = s0._step(*a0)
+    os.environ["CFDTPU_CONST_ARGS"] = "1"
+    try:
+        s1, a1 = _build(nx=14, dtype=np.float64)
+        assert s1.jit_const_args
+        u1, p1, ru, rp, st = s1._step(*a1)
+    finally:
+        os.environ.pop("CFDTPU_CONST_ARGS", None)
+    assert bool(st["converged"])
+    assert np.allclose(np.asarray(u1), np.asarray(u0), atol=1e-9)
