@@ -38,9 +38,12 @@ assembly is the follow-up.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import ops as jox
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -433,8 +436,6 @@ def build_halo_step(solver):
                         -1
                     )
 
-                    from jax import ops as jox
-
                     dpp_flat = dpp.reshape(-1)
 
                     def coarse_correct(r_p):
@@ -474,8 +475,6 @@ def build_halo_step(solver):
                             m=m_p, reorth=False,
                         )
 
-                    import os
-
                     use_coarse = (
                         os.environ.get("CFDTPU_HALO_COARSE") != "off"
                     )
@@ -507,8 +506,6 @@ def build_halo_step(solver):
                             axis=1,
                         )
                         return z.reshape(-1)
-
-                    import os
 
                     if os.environ.get("CFDTPU_HALO_PC") == "off":
                         return matvec, None

@@ -82,27 +82,6 @@ def build_aggregates(row, col, n: int, pairwise: bool = False
     return agg
 
 
-def build_ell(row: np.ndarray, col: np.ndarray, n: int):
-    """Static ELL maps for a row-sorted COO graph: returns
-    (perm (n*K,), cols (n, K), K) where perm indexes into the COO value
-    array (sentinel = nnz -> zero pad) and cols into the x vector
-    (sentinel = n -> zero pad). Turns the segment_sum matvec into a
-    dense gather+reduce — the TPU-native sparse layout (la/nodebsr.py
-    measured the same switch at 2.1x on the node-block operator)."""
-    nnz = len(row)
-    cnt = np.bincount(row, minlength=n)
-    K = int(cnt.max()) if nnz else 1
-    starts = np.cumsum(cnt) - cnt
-    pos = np.arange(nnz) - np.repeat(starts, cnt)
-    slot = row.astype(np.int64) * K + pos
-    perm = np.full(n * K, nnz, dtype=np.int64)
-    perm[slot] = np.arange(nnz)
-    cols = np.full(n * K, n, dtype=np.int64)
-    cols[slot] = col
-    return (jnp.asarray(perm.astype(np.int32)),
-            jnp.asarray(cols.reshape(n, K).astype(np.int32)), K)
-
-
 class AMGLevel:
     __slots__ = ("agg", "n_coarse", "entry_map", "entry_order",
                  "row", "col", "diag_pos", "n", "_coarse_coo")

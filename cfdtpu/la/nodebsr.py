@@ -88,34 +88,33 @@ class NodeBSR:
         self._diag_pos = jnp.asarray(diag_pos.astype(np.int32))
         self._pp_amg = None
 
-        # ELL layout of the same blocks: rows are sorted, so each row's
-        # entries are contiguous; padding to K = max blocks/row turns the
-        # matvec scatter into a dense reduction over K. Measured on TPU
-        # at 355k blocks the sorted segment_sum is 88% of the matvec
-        # (3.96 of 4.51 ms) — ELL removes it entirely at ~1.1-1.5x
-        # value-byte overhead (mean/max blocks per row is 6.8/7 on
-        # structured, ~7.9/12 on unstructured meshes).
         row_np = (uniq // n_nodes).astype(np.int64)
         col_np = (uniq % n_nodes).astype(np.int64)
         cnt = np.bincount(row_np, minlength=n_nodes)
-        K = int(cnt.max())
-        starts = np.cumsum(cnt) - cnt
-        pos_in_row = np.arange(self.n_blocks) - np.repeat(starts, cnt)
-        slot = row_np * K + pos_in_row
-        perm = np.full(n_nodes * K, self.n_blocks, dtype=np.int64)
-        perm[slot] = np.arange(self.n_blocks)
-        cols_ell = np.full(n_nodes * K, n_nodes, dtype=np.int64)
-        cols_ell[slot] = col_np
-        self.K = K
-        self._ell_perm = jnp.asarray(perm.astype(np.int32))
-        self._ell_cols = jnp.asarray(
-            cols_ell.reshape(n_nodes, K).astype(np.int32)
-        )
+        self.K = K = int(cnt.max())
 
         # supernode layout (la/superell.py): g consecutive (Hilbert-
         # ordered) nodes per gathered row — the per-row-bound TPU gather
         # then moves g*bs-wide rows. Fill overhead is repaid by streaming.
+        # g == 1 falls back to the round-1 per-node ELL layout (rows are
+        # sorted, so each row's entries are contiguous; padding to
+        # K = max blocks/row turns the matvec scatter into a dense
+        # reduction over K).
         self.g = int(supernode_g) if supernode_g else 1
+        if self.g == 1:
+            starts = np.cumsum(cnt) - cnt
+            pos_in_row = (
+                np.arange(self.n_blocks) - np.repeat(starts, cnt)
+            )
+            slot = row_np * K + pos_in_row
+            perm = np.full(n_nodes * K, self.n_blocks, dtype=np.int64)
+            perm[slot] = np.arange(self.n_blocks)
+            cols_ell = np.full(n_nodes * K, n_nodes, dtype=np.int64)
+            cols_ell[slot] = col_np
+            self._ell_perm = jnp.asarray(perm.astype(np.int32))
+            self._ell_cols = jnp.asarray(
+                cols_ell.reshape(n_nodes, K).astype(np.int32)
+            )
         if self.g > 1:
             from .superell import SuperMaps
 
