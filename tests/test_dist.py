@@ -221,3 +221,22 @@ def test_const_args_step_matches():
         os.environ.pop("CFDTPU_CONST_ARGS", None)
     assert bool(st["converged"])
     assert np.allclose(np.asarray(u1), np.asarray(u0), atol=1e-9)
+
+
+def test_halo_scenario_end_to_end(tmp_path):
+    """Scenario-level halo run (the CLI --n_shards path: time loop,
+    outputs, norms) matches the serial scenario bit-for-bit-ish."""
+    from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+
+    sc8 = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.02, mu=0.01, nx=10, n_shards=8
+    )
+    sc8.solve(str(tmp_path / "halo"))
+    sc0 = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.02, mu=0.01, nx=10
+    )
+    sc0.solve(str(tmp_path / "serial"))
+    assert np.allclose(
+        np.asarray(sc8.solver.u_sol), np.asarray(sc0.solver.u_sol),
+        atol=1e-10,
+    )
