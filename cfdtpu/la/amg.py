@@ -285,8 +285,13 @@ class BlockAMG(AMG):
     """
 
     def __init__(self, row, col, n, d: int, coarse_size: int = 400,
-                 **kw):
+                 fine_smoother=None, **kw):
+        # fine_smoother: optional la/ras.RASPrecond applied as the
+        # finest-level smoother (coarser levels keep l1-Jacobi) — the
+        # ASM/ILU-strength smoothing the reference's u-block sub-PCs get
+        # from PETSc (stabilized_schur.py:261-264), batched for the MXU
         self.d = int(d)
+        self.fine_smoother = fine_smoother
         super().__init__(row, col, n, coarse_size=coarse_size, **kw)
 
     def _block_pos(self, k):
@@ -317,6 +322,10 @@ class BlockAMG(AMG):
     def build(self, vals):
         """vals: (nnz, d, d) block values on the finest graph."""
         d = self.d
+        ras_inv = (
+            self.fine_smoother.build(vals)
+            if self.fine_smoother is not None else None
+        )
         out = []
         for k, lvl in enumerate(self.levels):
             ev = self._place_block(k, vals)
@@ -334,7 +343,7 @@ class BlockAMG(AMG):
         A = A + 1e-12 * jnp.max(jnp.abs(vals)) * jnp.eye(
             m * d, dtype=vals.dtype
         )
-        return out, jnp.linalg.inv(A)
+        return out, jnp.linalg.inv(A), ras_inv
 
     def _matvec_block(self, k, sup_vals, x):
         """x: (m*d,) flat -> (m*d,) flat."""
@@ -357,11 +366,17 @@ class BlockAMG(AMG):
         return jnp.maximum(dsum[: maps.n * self.d], 1e-30)
 
     def v_cycle(self, built, b, diag0=None):
-        level_vals, coarse_inv = built
+        level_vals, coarse_inv, ras_inv = built
         nl = len(self.levels)
         d = self.d
+        ras = self.fine_smoother
 
         def smooth(k, vals, dg, x, b, iters):
+            if k == 0 and ras_inv is not None:
+                for _ in range(iters):
+                    r = b - self._matvec_block(k, vals, x)
+                    x = x + ras.apply(ras_inv, r)
+                return x
             for _ in range(iters):
                 r = b - self._matvec_block(k, vals, x)
                 x = x + self.omega * r / dg
@@ -371,7 +386,10 @@ class BlockAMG(AMG):
             if k == nl:
                 return coarse_inv @ b
             vals, dg = level_vals[k]
-            x = self.omega * b / dg  # first pre-smooth from x0 = 0
+            if k == 0 and ras_inv is not None:
+                x = ras.apply(ras_inv, b)  # pre-smooth from x0 = 0
+            else:
+                x = self.omega * b / dg  # first pre-smooth from x0 = 0
             x = smooth(k, vals, dg, x, b, self.n_smooth - 1)
             r = b - self._matvec_block(k, vals, x)
             agg = self.levels[k].agg

@@ -416,18 +416,41 @@ class NodeBSR:
         add = mask[:, :, None] * jnp.eye(d, dtype=v.dtype)[None]
         return v.at[self._diag_pos].set(dv + add)
 
-    def uu_amg(self):
+    def uu_amg(self, fine_smoother=None):
         """Block-aggregation-MG hierarchy on the velocity node graph
         (static structure, built once and cached) — the h-robust inner
-        PC for the convection-dominated A_uu sweeps."""
-        if getattr(self, "_uu_amg_h", None) is None:
+        PC for the convection-dominated A_uu sweeps. fine_smoother: an
+        optional RASPrecond used as the finest-level smoother (the
+        ASM+ILU-strength analogue, la/ras.py)."""
+        cached = getattr(self, "_uu_amg_h", None)
+        if cached is None or cached.fine_smoother is not fine_smoother:
             from .amg import BlockAMG
 
             self._uu_amg_h = BlockAMG(
                 np.asarray(self.block_row), np.asarray(self.block_col),
-                self.n_nodes, d=self.dim,
+                self.n_nodes, d=self.dim, fine_smoother=fine_smoother,
             )
         return self._uu_amg_h
+
+    def uu_ras(self, s: int = 16, overlap: int = 4):
+        """RAS preconditioner over contiguous Hilbert node windows for
+        the velocity block (static maps cached per (s, overlap)).
+
+        The key and the object are separate attributes on purpose:
+        utils/constargs.py rewrites tuple attributes to lists while
+        collecting const slots, so a (key, obj) tuple cache would fail
+        its own key comparison at trace time and rebuild — with traced
+        arrays (the round-3 rasamg_up tracer bug)."""
+        key = (int(s), int(overlap))
+        if getattr(self, "_uu_ras_key", None) != key:
+            from .ras import RASPrecond
+
+            self._uu_ras_obj = RASPrecond(
+                np.asarray(self.block_row), np.asarray(self.block_col),
+                self.n_nodes, d=self.dim, s=key[0], overlap=key[1],
+            )
+            self._uu_ras_key = key
+        return self._uu_ras_obj
 
     # -- pressure-block AMG hooks (see la/amg.py) ------------------------
     def pp_vals(self, vals):

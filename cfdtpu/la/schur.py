@@ -37,6 +37,7 @@ def make_schur_precond(
     full: bool = True,
     bc_mask_p=None,
     inner_method: str = "gmres",
+    ras_opts: tuple[int, int] = (16, 4),
 ):
     """Build v -> M v approximating J^{-1} v.
 
@@ -108,14 +109,39 @@ def make_schur_precond(
     # inner_method: "gmres" (both blocks), "chebyshev" (both),
     # "chebyshev_p" (GMRES on the convective u-block, reduction-free
     # Chebyshev on the near-SPD SELFP Schur block — see la/chebyshev.py),
-    # "amg_p" (AMG inner PC on the SELFP Schur stage), or "amg_up"
-    # (additionally block-AMG on the A_uu stage — the h-robust analogue
-    # of the reference's hypre/ASM u-block sub-PCs,
-    # /root/reference/src/solvers/stabilized_schur.py:261-264)
+    # "amg_p" (AMG inner PC on the SELFP Schur stage), "amg_up"
+    # (additionally block-AMG on the A_uu stage), "ras_up" (RAS batched
+    # dense subdomain solves on A_uu, la/ras.py — the ASM+ILU analogue of
+    # /root/reference/src/solvers/stabilized_schur.py:261-264), or
+    # "rasamg_up" (block-AMG on A_uu with RAS fine-level smoothing —
+    # h-robust AND convection-robust). All *_up methods keep AMG on the
+    # SELFP Schur stage.
     cheb_u = inner_method == "chebyshev"
     cheb_p = inner_method in ("chebyshev", "chebyshev_p")
+    amg_on_p = inner_method in ("amg_p", "amg_up", "ras_up", "rasamg_up")
 
-    if inner_method == "amg_up" and hasattr(form, "uu_amg"):
+    if inner_method == "rasamg_up" and hasattr(form, "uu_ras"):
+        ras = form.uu_ras(*ras_opts)
+        uu_amg = form.uu_amg(fine_smoother=ras)
+        uu_built = uu_amg.build(form.uu_vals(A_cells, bc_mask_u))
+
+        def Mu_rasamg(r):
+            return uu_amg.v_cycle(uu_built, r)
+
+        def solve_Auu(r):
+            return gmres_fixed(Auu, r, precond=Mu_rasamg, m=m_u,
+                               reorth=False)
+    elif inner_method == "ras_up" and hasattr(form, "uu_ras"):
+        ras = form.uu_ras(*ras_opts)
+        ras_inv = ras.build(form.uu_vals(A_cells, bc_mask_u))
+
+        def Mu_ras(r):
+            return ras.apply(ras_inv, r)
+
+        def solve_Auu(r):
+            return gmres_fixed(Auu, r, precond=Mu_ras, m=m_u,
+                               reorth=False)
+    elif inner_method == "amg_up" and hasattr(form, "uu_amg"):
         uu_amg = form.uu_amg()
         uu_built = uu_amg.build(form.uu_vals(A_cells, bc_mask_u))
 
@@ -147,7 +173,7 @@ def make_schur_precond(
             return gmres_fixed(Auu, r, precond=Mu, m=m_u,
                                reorth=False)
 
-    if inner_method in ("amg_p", "amg_up") and hasattr(form, "sp_amg"):
+    if amg_on_p and hasattr(form, "sp_amg"):
         # aggregation-MG V-cycle on the EXPLICIT SELFP matrix
         # Sp = App - Apu diag(Auu)^-1 Aup as the inner PC of the S
         # sweeps (la/amg.py, la/nodebsr.py sp_vals) — the h-robust

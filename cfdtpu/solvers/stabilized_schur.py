@@ -74,18 +74,25 @@ class Solver(SolverBase):
         pc_dtype: str = "same",
         pc_amg_pairwise: bool = False,
         pc_amg_smooth: int = 1,
-        jit_const_args: bool = False,
+        pc_ras_size: int = 16,
+        pc_ras_overlap: int = 4,
+        jit_const_args: bool | None = None,
         **kwargs,
     ):
         # jit_const_args: pass the static index maps to the jitted step
         # as arguments instead of closure constants — required beyond
         # ~400k DOF where the embedded-constant HLO payload exceeds the
-        # remote-compile limit (utils/constargs.py, PERF.md).
+        # remote-compile limit (utils/constargs.py, PERF.md). Default ON
+        # (round 3): harmless below the limit and required above it;
+        # CFDTPU_CONST_ARGS=0 disables for debugging.
         import os as _os
 
-        self.jit_const_args = bool(jit_const_args) or (
-            _os.environ.get("CFDTPU_CONST_ARGS") == "1"
-        )
+        env = _os.environ.get("CFDTPU_CONST_ARGS")
+        if jit_const_args is None:
+            jit_const_args = env != "0"
+        self.jit_const_args = bool(jit_const_args) or env == "1"
+        self.pc_ras_size = int(pc_ras_size)
+        self.pc_ras_overlap = int(pc_ras_overlap)
         self.pc_amg_pairwise = bool(pc_amg_pairwise)
         self.pc_amg_smooth = int(pc_amg_smooth)
         # "bf16": half the PC matrix traffic at +35% outer iterations
@@ -297,7 +304,7 @@ class Solver(SolverBase):
             except ValueError:
                 nodebsr = None  # non-equal-order spaces: element path
             if nodebsr is not None and self.pc_inner_method in (
-                "amg_p", "amg_up"
+                "amg_p", "amg_up", "ras_up", "rasamg_up"
             ):
                 # static SELFP sparsity + MG hierarchy must be built
                 # eagerly (numpy) — inside jit they would trace
@@ -306,10 +313,19 @@ class Solver(SolverBase):
                                n_smooth=self.pc_amg_smooth)
                 if self.pc_inner_method == "amg_up":
                     nodebsr.uu_amg()
+                elif self.pc_inner_method == "ras_up":
+                    nodebsr.uu_ras(self.pc_ras_size, self.pc_ras_overlap)
+                elif self.pc_inner_method == "rasamg_up":
+                    ras = nodebsr.uu_ras(
+                        self.pc_ras_size, self.pc_ras_overlap
+                    )
+                    nodebsr.uu_amg(fine_smoother=ras)
         self._nodebsr = nodebsr
         amg_active = (
             nodebsr is not None
-            and self.pc_inner_method in ("amg_p", "amg_up")
+            and self.pc_inner_method in (
+                "amg_p", "amg_up", "ras_up", "rasamg_up"
+            )
         )
         pc_bf16 = (
             self.pc_dtype == "bf16"
@@ -370,6 +386,7 @@ class Solver(SolverBase):
                         bc_mask_p=bc_mask_p,
                         full=self.pc_schur_fact == "full",
                         inner_method=self.pc_inner_method,
+                        ras_opts=(self.pc_ras_size, self.pc_ras_overlap),
                     )
                     return matvec, precond
                 if pc_type == "asm" and nodebsr is not None:
