@@ -18,6 +18,12 @@ def run(args) -> int:
     if args.exp_command == "solve":
         from .solving import run_solving
 
+        if getattr(args, "monitor", False):
+            # per-step stdout stats (see scenarios/base.py) — the
+            # -snes_monitor/-ksp_monitor analogue
+            import os
+
+            os.environ["CFDTPU_MONITOR"] = "1"
         return run_solving(
             args.config, args.exp_output, job_idx=args.job_idx,
             early_stop_override=getattr(args, "early_stop_tolerance",

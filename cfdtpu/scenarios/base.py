@@ -248,6 +248,11 @@ class Scenario(ABC):
 
         import time as _time
 
+        # --monitor analogue of the reference's -snes_monitor/-ksp_monitor
+        # PETSc options (/root/reference/src/utils/hpc.py:499-506):
+        # per-step solver stats echoed to stdout, not just solver_stats.txt
+        monitor = os.environ.get("CFDTPU_MONITOR") == "1"
+
         trace_dir = os.environ.get("CFDTPU_PROFILE")
         if trace_dir:
             import jax
@@ -267,6 +272,15 @@ class Scenario(ABC):
                 f"{st.get('newton_iters', 0)} {st.get('ksp_iters', 0)} "
                 f"{st.get('fnorm', float('nan'))}\n"
             )
+            if monitor and main:
+                print(
+                    f"  [monitor] step {i} t={t:.4f} "
+                    f"wall={_wall:.2f}s "
+                    f"newton={st.get('newton_iters', 0)} "
+                    f"ksp={st.get('ksp_iters', 0)} "
+                    f"fnorm={st.get('fnorm', float('nan')):.3e}",
+                    flush=True,
+                )
             if self.checkpoint_every and i % self.checkpoint_every == 0:
                 self.save_checkpoint(
                     os.path.join(output_folder, "checkpoint.npz"), t, i
