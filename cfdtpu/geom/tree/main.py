@@ -52,18 +52,33 @@ def run(args) -> int:
         f"edges, {len(tree.terminals)} terminals"
     )
 
-    # solid + mesh require CadQuery + gmsh (offline tools)
-    try:
-        import cadquery  # noqa: F401
-        import gmsh  # noqa: F401
-    except ImportError:
-        print(
-            "[tree] CadQuery/gmsh not available in this environment — "
-            "solid construction and meshing are offline preprocessing "
-            "steps; the GXL graph is ready for them. Stopping here."
-        )
-        return 0
-
-    raise NotImplementedError(
-        "CadQuery solid building is delegated to the offline tooling"
+    # modifications from the config (prune/dilate/thicken,
+    # reference tree_model.py:26-42)
+    tree.apply_modifications(
+        vessel_loss_factor=float(tree_params.get("vessel_loss_factor",
+                                                 0.0)),
+        hyperemia_factor=float(tree_params.get("hyperemia_factor", 1.0)),
+        wall_severity=float(tree_params.get("wall_severity", 0.0)),
+        wall_level_threshold=int(tree_params.get("wall_level_threshold",
+                                                 0)),
     )
+
+    # Native meshing: the reference needs CadQuery solids + gmsh here
+    # (graph_to_mesh.py:186-401, both offline C++ tools); the implicit
+    # capsule-union tet mesher produces the tagged .msh in-framework.
+    from ..tree_mesh3d import tree_to_mesh3d
+    from ...mesh.msh import write_msh
+
+    res = float(tree_params.get("mesh_resolution", 0.35))
+    mesh = tree_to_mesh3d(tree, res=res)
+    out = args.output or os.path.join(workdir, "vessels.msh")
+    if not out.endswith(".msh"):
+        out = os.path.join(out, "vessels.msh")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    write_msh(mesh, out)
+    n_out = int((mesh.facet_tags == 2).sum())
+    print(
+        f"[tree] meshed natively: {mesh.num_cells} tets, "
+        f"{n_out} outlet facets -> {out}"
+    )
+    return 0

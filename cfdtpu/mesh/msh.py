@@ -139,6 +139,62 @@ def _parse_v4(sections):
     return ids, pts, elements
 
 
+_CELL_GMSH = {
+    CellType.triangle: (2, [0, 1, 2]),
+    CellType.quadrilateral: (3, [0, 1, 3, 2]),
+    CellType.tetrahedron: (4, [0, 1, 2, 3]),
+    CellType.hexahedron: (5, [0, 1, 3, 2, 4, 5, 7, 6]),
+}
+_FACET_GMSH = {2: 1, 3: 2, 4: 3}  # n facet vertices -> gmsh etype
+
+
+def write_msh(mesh: Mesh, path, fluid_tag: int = 4) -> None:
+    """Write an ASCII gmsh v2.2 mesh with physical tags.
+
+    Tagged boundary facets become codim-1 elements carrying their
+    facet_tags value as the physical group; every cell carries
+    `fluid_tag` (the reference tree/stenosis convention inlet=1,
+    outlet=2, wall=3, fluid=4, /root/reference/src/geom/stenosis/
+    stenosis.py:12-15). Round-trips through read_msh above; this is what
+    lets `main.py tree` produce a vessels.msh natively (the reference
+    needs CadQuery+gmsh, graph_to_mesh.py:264-401)."""
+    etype, perm = _CELL_GMSH[CellType(mesh.cell_type)]
+    pts = np.asarray(mesh.points, dtype=float)
+    if pts.shape[1] < 3:
+        pts = np.concatenate(
+            [pts, np.zeros((len(pts), 3 - pts.shape[1]))], axis=1
+        )
+    # ours -> gmsh vertex order = inverse of the read permutation
+    inv = np.empty(len(perm), dtype=np.int64)
+    inv[perm] = np.arange(len(perm))
+    cells = np.asarray(mesh.cells, dtype=np.int64)[:, inv]
+
+    tagged = np.where(np.asarray(mesh.facet_tags) > 0)[0]
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat", "$Nodes",
+             str(len(pts))]
+    for i, p in enumerate(pts):
+        lines.append(f"{i + 1} {p[0]:.16g} {p[1]:.16g} {p[2]:.16g}")
+    lines += ["$EndNodes", "$Elements", str(len(tagged) + len(cells))]
+    eid = 1
+    for fi in tagged:
+        fv = np.asarray(mesh.facets[fi], dtype=np.int64) + 1
+        ft = _FACET_GMSH[len(fv)]
+        tag = int(mesh.facet_tags[fi])
+        lines.append(
+            f"{eid} {ft} 2 {tag} {tag} " + " ".join(map(str, fv))
+        )
+        eid += 1
+    for c in cells + 1:
+        lines.append(
+            f"{eid} {etype} 2 {fluid_tag} {fluid_tag} "
+            + " ".join(map(str, c))
+        )
+        eid += 1
+    lines.append("$EndElements")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def read_msh(path, gdim: int | None = None) -> Mesh:
     """Read an ASCII gmsh mesh. Keeps the highest-dimensional cells found;
     codim-1 tagged elements become boundary facet tags.
