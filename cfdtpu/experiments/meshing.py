@@ -71,13 +71,8 @@ def run_meshing(config_path, output_base, job_idx=None, mode="all") -> int:
             _mesh_tree2d(params, exp_dir, with_stenosis=gtype == "full2d")
             n_done += 1
         elif gtype in ("stenosis", "tree", "full"):
-            print(
-                f"[SKIP] {exp_dir.name}: geometry_type '{gtype}' requires "
-                f"the offline VascuSynth/CadQuery/gmsh pipeline (not in "
-                f"this environment). Generate mesh.msh offline and place "
-                f"it at {mesh_path}."
-            )
-            n_skipped += 1
+            _mesh_native3d(params, exp_dir, gtype)
+            n_done += 1
         else:
             print(f"[ERROR] unknown geometry_type '{gtype}'")
             return 1
@@ -106,6 +101,79 @@ def _mesh_stenosis2d(params: dict, exp_dir: Path) -> None:
         outlet_marker=2,
         wall_marker=3,
     )
+    _save_mesh(mesh, exp_dir)
+
+
+def _mesh_native3d(params: dict, exp_dir: Path, gtype: str) -> None:
+    """Native 3D meshing stage for geometry_type stenosis/tree/full —
+    the in-framework counterpart of the reference's offline
+    VascuSynth+CadQuery+gmsh pipeline (reference experiments/meshing.py:
+    244-298 tree, :300-436 merged build, :443-552 tagging): implicit
+    SDF-union tet meshing (geom/implicit3d.py) of the stenosis radius
+    law, a procedural 3D Murray tree (geom/merged3d.procedural_tree3d —
+    a cached VascuSynth GXL at <exp_dir>/tree_structure.xml takes
+    precedence), or the stenosis ∪ coupling-cone ∪ tree union."""
+    import math
+
+    from ..geom.merged3d import (
+        mesh_full_geometry, procedural_tree3d,
+    )
+    from ..geom.stenosis3d import native_stenosis_mesh
+    from ..geom.tree_mesh3d import tree_to_mesh3d
+
+    def _load_tree():
+        gxl = exp_dir / "tree_structure.xml"
+        if gxl.exists():
+            from ..geom.tree.tree_model import VascularTree
+            from ..geom.tree.vascusynth import voxel_width_mm
+
+            tree = VascularTree.from_xml(
+                str(gxl),
+                voxel_width_mm(float(params.get("volume_mL", 100.0))),
+            )
+        else:
+            n_terminal = int(params.get("n_terminal", 8))
+            n_gen = max(1, int(round(math.log2(max(n_terminal, 2)))))
+            tree = procedural_tree3d(
+                r_root=0.9 * float(params.get("radius_out", 1.2)),
+                n_generations=n_gen,
+                gamma=float(params.get("murray_exponent", 3.0)),
+            )
+        hyper = bool(params.get("hyperemia", False))
+        tree.apply_modifications(
+            vessel_loss_factor=float(
+                params.get("vessel_loss_factor", 0.0)
+            ),
+            hyperemia_factor=(
+                float(params.get("hyperemia_dilation_factor", 1.0))
+                if hyper else 1.0
+            ),
+            wall_severity=float(
+                params.get("wall_thickening_severity", 0.0)
+            ),
+            wall_level_threshold=int(
+                params.get("thickening_level_threshold", 1)
+            ),
+        )
+        return tree
+
+    res = float(params.get("mesh_resolution", 0.35))
+    if gtype == "stenosis":
+        mesh = native_stenosis_mesh(
+            length=float(params.get("length", 50.0)),
+            radius_in=float(params.get("radius_in", 1.5)),
+            radius_out=float(params.get("radius_out", 0.65)),
+            severity=float(params.get("stenosis_severity", 0.5)),
+            slope=float(params.get("stenosis_slope", 0.3)),
+            position=float(
+                params.get("stenosis_position",
+                           0.5 * float(params.get("length", 50.0)))
+            ),
+        )
+    elif gtype == "tree":
+        mesh = tree_to_mesh3d(_load_tree(), res=res)
+    else:  # full
+        mesh = mesh_full_geometry(params, tree=_load_tree())
     _save_mesh(mesh, exp_dir)
 
 

@@ -33,6 +33,10 @@ VALID_BASE_PARAMS = {
     "vessel_loss_factor", "hyperemia_dilation_factor",
     "mu", "rho", "artery_mesh_size_from_curvature",
     "solver", "T", "dt", "early_stop_tolerance", "bc_type",
+    # native implicit 3D mesher knobs (geom/merged3d.py): cell size as a
+    # fraction of the minimum vessel radius, axial sampling of the
+    # stenosis radius law
+    "mesh_resolution", "n_axial", "volume_mL",
 }
 
 VALID_SIMULATION_PARAMS = {
