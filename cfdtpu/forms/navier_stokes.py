@@ -427,9 +427,23 @@ class StabilizedNSForm:
         """Element matrices on Q for PCD preconditioning
         (the Ap/Mp/Kp operators the reference gets from fenicsx-pctools,
         SURVEY.md 2.4): pressure Laplacian Ap, pressure mass Mp, and the
-        convection-diffusion operator Fp = nu Ap + N(u_prev).
-        Returns (Ap_e, Mp_e, Fp_e) each (nc, nbp, nbp)."""
-        nu = prm["mu"] / prm["rho"]
+        pressure-space mirror of the momentum Jacobian
+        Fp = (rho a0/dt) Mp + theta (mu Ap + rho N(u_prev)).
+        Returns (Ap_e, Mp_e, Fp_e) each (nc, nbp, nbp).
+
+        The reaction term (rho/dt) Mp is essential: without it the
+        Stokes/small-dt limit of Mp^{-1} Fp Ap^{-1} loses its
+        Cahouet-Chabard (rho/dt) Ap^{-1} component and the PC mismodels
+        the time-dependent Schur complement (the round-2 "near-Stokes
+        mismodel"). a0/theta mirror the time integrator: Crank-Nicolson
+        differentiates u_mid = (u+u_prev)/2, so the convective/viscous
+        Jacobian carries theta = 1/2 while the mass term is full
+        (fenicsx-pctools PCDPC_vY builds Kp from the same form,
+        /root/reference/src/solvers/stabilized_pcd.py:206-240)."""
+        rho = prm["rho"]
+        mu = prm["mu"]
+        a0 = prm.get("bdf_a0", 1.0)
+        theta = prm.get("pcd_theta", 0.5)
         J = jnp.einsum("cvg,qvd->cqgd", self.cell_coords, self.gdphi)
         detJ, invJ = det_and_inv(J)
         wdet = jnp.abs(detJ) * self.qw[None, :]
@@ -442,7 +456,9 @@ class StabilizedNSForm:
                           u_prev[self.dofmap_u])
         conv = jnp.einsum("cq,qa,cqbg,cqg->cab", wdet, self.phi_p, gp,
                           up_q)
-        Fp = nu * Ap + conv
+        Fp = (rho * a0 / prm["dt"]) * Mp + theta * (
+            mu * Ap + rho * conv
+        )
         return Ap, Mp, Fp
 
     def velocity_mass_diagonal(self):

@@ -5,11 +5,24 @@ reference's stabilized_lsc solvers
 (/root/reference/src/solvers/stabilized_lsc.py:220-266: Schur LOWER,
 SchurPreType.SELF with LSC on the pressure block, LU sub-solves).
 
-Scaled LSC approximation of the Schur complement inverse:
-    S^{-1} ~ (B D^{-1} B^T)^{-1} (B D^{-1} F D^{-1} B^T) (B D^{-1} B^T)^{-1}
-with B = A_pu, B^T ~ A_up, F = A_uu and D = diag(A_uu). The two
-Poisson-like solves with B D^{-1} B^T run as fixed-iteration GMRES sweeps
-(the analogue of the reference's inner LU, flexible-outer-safe).
+Scaled LSC approximation of the Schur complement inverse (the
+Elman/Silvester/Wathen scaled variant, generalized to the PSPG
+C-block with consistent sigma-scaling — derivation in the body):
+    S^{-1} ~ L_sigma^{-1} (sigma^2 App + W) L_sigma^{-1}
+    L_sigma = sigma App + G,  G = -B Q^{-1} B^T,
+    W = -B Q^{-1} F Q^{-1} B^T,  sigma = scale(Q^{-1} F)
+with B = A_pu, B^T ~ A_up, F = A_uu and Q = diag(velocity mass). The
+Poisson-like solves with L_sigma run as a single aggregation-AMG
+V-cycle on the explicitly assembled matrix (distance-2 sp_structure
+graph) when the operator carries the node-BSR machinery
+(la/nodebsr.py), else one Jacobi application — both linear, so the
+whole formula preconditions fixed-iteration GMRES sweeps on the SELFP
+Schur action (the analogue of the reference's inner LU,
+flexible-outer-safe).
+
+The velocity block mirrors make_schur_precond's inner_method dispatch
+("amg_up"/"rasamg_up"/"amg_sup"/"rasamg_sup" enable the block-AMG
+V-cycle, with RAS fine-smoothing for the rasamg variants).
 """
 
 from __future__ import annotations
@@ -28,6 +41,9 @@ def make_lsc_precond(
     m_u: int = 8,
     m_p: int = 10,
     bc_mask_p=None,
+    inner_method: str = "gmres",
+    ras_opts: tuple[int, int] = (16, 4),
+    mass_diag=None,
 ):
     n_u_flat = form.n_u_flat
 
@@ -57,35 +73,131 @@ def make_lsc_precond(
     d_p = _safe(d_p)
     # LSC commutator scaling: the velocity MASS diagonal (Elman et al.),
     # not diag(A_uu)
-    q_u = _safe(jnp.where(bc_mask_u, 1.0, form.velocity_mass_diagonal()))
-    inv_d_u = 1.0 / q_u
+    if mass_diag is None:
+        mass_diag = form.velocity_mass_diagonal()
+    q_u = _safe(jnp.where(bc_mask_u, 1.0, mass_diag))
+    inv_q_u = jnp.where(bc_mask_u, 0.0, 1.0 / q_u)
 
-    def BBt(v_p):
-        y = Apu(inv_d_u * Aup(v_p))
+    # Stabilized scaled LSC. Three deviations from the textbook formula,
+    # all forced by this discretization (and measured on the lid
+    # fixture, dense eigen-analysis at a convective step):
+    #
+    # (1) Sign: with this form's pressure-row convention the product
+    #     A_pu Q^{-1} A_up is NEGATIVE (semi-)definite (SELFP =
+    #     App - Apu D^{-1} Aup is the positive Laplacian-like matrix),
+    #     so every commutator product below carries a minus relative to
+    #     the B Q^{-1} B^T notation. The round-2 implementation missed
+    #     this — the "LSC stalls" finding was a sign error.
+    #
+    # (2) Stabilization + (3) sigma-scaling: PSPG equal-order P1-P1 has
+    #     a C block (App) that DOMINATES the Schur complement at
+    #     transient dt; the product-only LSC formula ignores it and its
+    #     direct application is structurally wrong here. Folding App
+    #     into the factors UNSCALED (L = App + G, mid = App + W, with
+    #     G = -Apu Q^{-1} Aup and W = -Apu Q^{-1} F Q^{-1} Aup) is
+    #     wrong too: W scales like sigma*G with
+    #     sigma = scale(Q^{-1} F) ~ rho/dt + nu/h^2, while App enters
+    #     both factors at weight 1 — the mismatch makes the product
+    #     INDEFINITE once convection kicks in (measured: eigenvalues of
+    #     M S in [0.22, 75] with 5 negative real parts; outer KSP
+    #     2597/step). The consistently-scaled form used here is
+    #
+    #         L_sigma = sigma App + G
+    #         S^{-1} ~ L_sigma^{-1} (sigma^2 App + W) L_sigma^{-1}
+    #
+    #     which reduces to scaled LSC when App = 0 and is EXACT in the
+    #     commuting F = sigma Q limit INCLUDING the stabilization block:
+    #     there W = sigma G, so M = sigma L_sigma^{-1} and
+    #     S = App + G/sigma = L_sigma/sigma. Measured at the convective
+    #     lid state: eigenvalues of M S_true in [1.00, 1.00], sweep
+    #     GMRES 4 its vs 220 for the unscaled form. sigma is the masked
+    #     mean of diag(A_uu)/diag(Q) (exact when F = sigma Q).
+    #     L_sigma = sigma * selfp(inv_diag = Q^{-1}/sigma), so the
+    #     existing sp_vals/sp_amg machinery assembles and solves it.
+    #     The formula preconditions fixed GMRES sweeps on the SELFP
+    #     Schur action (the reference iterates the TRUE Schur operator,
+    #     SchurPreType.SELF, around its LSC PC; a preonly direct
+    #     application — their fieldsplit_p preonly — leaves the
+    #     commutator error uncorrected).
+    n_free = jnp.maximum(jnp.sum(~bc_mask_u), 1)
+    sigma = jnp.sum(jnp.where(bc_mask_u, 0.0, d_u * inv_q_u)) / n_free
+    if hasattr(form, "sp_vals") and hasattr(form, "sp_amg"):
+        amg = form.sp_amg()
+        lv = sigma * form.sp_vals(A_cells, inv_q_u / sigma)
+        if bc_mask_p is not None:
+            sp_row = form.sp_structure()[0]
+            lv = jnp.where(bc_mask_p[sp_row], 0.0, lv)
+            lv = lv.at[form._sp_diag_pos].set(
+                jnp.where(bc_mask_p, 1.0, lv[form._sp_diag_pos])
+            )
+        l_built = amg.build(lv)
+
+        def M_L(v):
+            return amg.v_cycle(l_built, v)
+    else:
+        def M_L(v):
+            return v / (sigma * d_p)
+
+    def App(v_p):
+        return form.apply_sub_block(A_cells, A_blocks, v_p, "pp")
+
+    inv_d_u_bc = jnp.where(bc_mask_u, 0.0, 1.0 / d_u)
+
+    def S(v_p):
+        """SELFP Schur action — the sweep operator (the Krylov sweeps
+        see a consistent approximation of the true Schur complement;
+        the LSC formula below only preconditions them, so its
+        commutator error is corrected by the sweeps)."""
+        y = App(v_p) - Apu(inv_d_u_bc * Aup(v_p))
         if bc_mask_p is not None:
             y = jnp.where(bc_mask_p, v_p, y)
         if pin_pressure:
             y = y - jnp.mean(y)
         return y
 
-    def solve_BBt(r):
+    def M_lsc(v):
+        """One sigma-scaled stabilized-LSC application
+        L_sigma^{-1} (sigma^2 App + W) L_sigma^{-1} with single V-cycle
+        (or Jacobi) L_sigma-solves — linear, so the fixed-GMRES S
+        sweeps remain valid."""
+        z1 = M_L(v)
+        w = inv_q_u * Aup(z1)
+        w = form.apply_sub_block(A_cells, A_blocks, w, "uu")
+        w = jnp.where(bc_mask_u, 0.0, w)
+        z2 = (sigma * sigma) * App(z1) - Apu(inv_q_u * w)
+        return M_L(z2)
+
+    def S_inv(r_p):
         if pin_pressure:
-            r = r - jnp.mean(r)
-        z = gmres_fixed(BBt, r, precond=lambda v: v / d_p, m=m_p)
+            r_p = r_p - jnp.mean(r_p)
+        z = gmres_fixed(S, r_p, precond=M_lsc, m=m_p, reorth=False)
         if pin_pressure:
             z = z - jnp.mean(z)
         return z
 
-    def S_inv(r_p):
-        z1 = solve_BBt(r_p)
-        w = inv_d_u * Aup(z1)
-        w = form.apply_sub_block(A_cells, A_blocks, w, "uu")
-        w = jnp.where(bc_mask_u, 0.0, w)
-        z2 = Apu(inv_d_u * w)
-        return solve_BBt(z2)
+    # -- velocity stage: mirror make_schur_precond's inner dispatch
+    if inner_method in (
+        "amg_up", "amg_sup", "rasamg_up", "rasamg_sup"
+    ) and hasattr(form, "uu_amg"):
+        ras = (
+            form.uu_ras(*ras_opts)
+            if inner_method.startswith("rasamg") and hasattr(
+                form, "uu_ras"
+            ) else None
+        )
+        uu_amg = form.uu_amg(fine_smoother=ras)
+        uu_built = uu_amg.build(form.uu_vals(A_cells, bc_mask_u))
+
+        def Mu(r):
+            return uu_amg.v_cycle(uu_built, r)
+    elif hasattr(form, "uu_block_jacobi"):
+        Mu = form.uu_block_jacobi(A_cells, bc_mask_u)
+    else:
+        def Mu(v):
+            return v / d_u
 
     def solve_Auu(r):
-        return gmres_fixed(Auu, r, precond=lambda v: v / d_u, m=m_u)
+        return gmres_fixed(Auu, r, precond=Mu, m=m_u, reorth=False)
 
     def precond(v):
         # lower-triangular Schur application (reference uses Schur LOWER)

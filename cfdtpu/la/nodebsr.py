@@ -384,6 +384,52 @@ class NodeBSR:
         sp = self._sp_scatter(contrib)
         return sp.at[self._sp_app_pos].add(vals[:, d, d])
 
+    def bbt_vals(self, vals, inv_q_flat):
+        """Assemble the explicit LSC commutator operator
+        BBt = A_pu diag(Q)^-1 A_up on the distance-2 sp_structure()
+        graph (Q the velocity mass diagonal, Elman et al. scaled LSC) —
+        jittable, runs once per preconditioner build. Unlike SELFP this
+        is a pure product: no App term, positive (Poisson-like) sign.
+        The same sp_amg() hierarchy preconditions solves with it (the
+        hierarchy depends only on the graph, values are passed at
+        build)."""
+        if isinstance(vals, dict):
+            vals = vals["coo"]
+        self.sp_structure()
+        d = self.dim
+        inv_q = inv_q_flat.reshape(self.n_nodes, d)
+        apu = vals[self._sp_e1][:, d, :d]
+        aup = vals[self._sp_e2][:, :d, d]
+        contrib = jnp.sum(apu * inv_q[self._sp_K] * aup, axis=1)
+        return self._sp_scatter(contrib)
+
+    def p_scatter_structure(self):
+        """Static cell-entry -> node-COO map for assemble_p_scalar.
+        Must be built eagerly (numpy over the static dofmap; under the
+        const-args jit path the device-array attributes are tracers at
+        trace time)."""
+        if getattr(self, "_p_scatter", None) is None:
+            cells = np.asarray(self.form.V.dofmap)
+            nbn = cells.shape[1]
+            n = self.n_nodes
+            r = np.repeat(cells, nbn, axis=1).reshape(-1).astype(np.int64)
+            c = np.tile(cells, (1, nbn)).reshape(-1).astype(np.int64)
+            row = np.asarray(self.block_row, dtype=np.int64)
+            col = np.asarray(self.block_col, dtype=np.int64)
+            keys = np.searchsorted(row * n + col, r * n + c)
+            from ..utils.geometry import SortedScatter
+
+            self._p_scatter = SortedScatter(keys, self.n_blocks)
+        return self._p_scatter
+
+    def assemble_p_scalar(self, P_e):
+        """Scatter element pressure matrices (nc, nbp, nbp) — e.g. the
+        PCD Ap/Mp/Fp operators from form.pressure_matrices — into the
+        scalar node COO aligned with block_row/block_col (jittable).
+        Cell-interior entries only; the facet-term keys of the mixed
+        assembly don't apply to these pure-Q operators."""
+        return self.p_scatter_structure()(P_e.reshape(-1))
+
     def sp_amg(self, pairwise=False, n_smooth=1):
         """Aggregation-MG hierarchy on the explicit SELFP graph
         (aggregates formed on the distance-1 node graph, see la/amg.py)."""

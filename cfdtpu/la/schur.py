@@ -116,40 +116,52 @@ def make_schur_precond(
     # "rasamg_up" (block-AMG on A_uu with RAS fine-level smoothing —
     # h-robust AND convection-robust). All *_up methods keep AMG on the
     # SELFP Schur stage.
+    # "amg_sup": amg_up PLUS the S stage operates on a near-true Schur
+    # complement — the diag(Auu)^-1 inside the SELFP product is replaced
+    # by one u-block AMG V-cycle (a LINEAR operator, so the fixed-GMRES
+    # S sweeps remain valid; a nested GMRES would not be). diag(Auu) is
+    # an O(1)-bad stand-in for Auu^-1 once convection dominates (large
+    # dt / steady marches), and that gap — not the u-solve quality — is
+    # what drives the 550-700 ksp/step steady-march counts (round-3
+    # m_u/m_p split experiments, PERF.md). The SELFP-matrix AMG stays as
+    # the PC of the S sweeps.
     cheb_u = inner_method == "chebyshev"
     cheb_p = inner_method in ("chebyshev", "chebyshev_p")
-    amg_on_p = inner_method in ("amg_p", "amg_up", "ras_up", "rasamg_up")
+    amg_on_p = inner_method in (
+        "amg_p", "amg_up", "ras_up", "rasamg_up", "amg_sup",
+        "rasamg_sup",
+    )
+    sup_schur = inner_method in ("amg_sup", "rasamg_sup")
 
-    if inner_method == "rasamg_up" and hasattr(form, "uu_ras"):
-        ras = form.uu_ras(*ras_opts)
+    uu_vcycle = None
+    if inner_method in (
+        "amg_up", "amg_sup", "rasamg_up", "rasamg_sup"
+    ) and hasattr(form, "uu_amg"):
+        ras = (
+            form.uu_ras(*ras_opts)
+            if inner_method.startswith("rasamg") and hasattr(
+                form, "uu_ras"
+            ) else None
+        )
         uu_amg = form.uu_amg(fine_smoother=ras)
         uu_built = uu_amg.build(form.uu_vals(A_cells, bc_mask_u))
 
-        def Mu_rasamg(r):
+        def uu_vcycle(r):  # noqa: F811
             return uu_amg.v_cycle(uu_built, r)
 
-        def solve_Auu(r):
-            return gmres_fixed(Auu, r, precond=Mu_rasamg, m=m_u,
-                               reorth=False)
-    elif inner_method == "ras_up" and hasattr(form, "uu_ras"):
-        ras = form.uu_ras(*ras_opts)
-        ras_inv = ras.build(form.uu_vals(A_cells, bc_mask_u))
+    if inner_method == "ras_up" and hasattr(form, "uu_ras"):
+        ras_only = form.uu_ras(*ras_opts)
+        ras_inv = ras_only.build(form.uu_vals(A_cells, bc_mask_u))
 
         def Mu_ras(r):
-            return ras.apply(ras_inv, r)
+            return ras_only.apply(ras_inv, r)
 
         def solve_Auu(r):
             return gmres_fixed(Auu, r, precond=Mu_ras, m=m_u,
                                reorth=False)
-    elif inner_method == "amg_up" and hasattr(form, "uu_amg"):
-        uu_amg = form.uu_amg()
-        uu_built = uu_amg.build(form.uu_vals(A_cells, bc_mask_u))
-
-        def Mu_amg(r):
-            return uu_amg.v_cycle(uu_built, r)
-
+    elif uu_vcycle is not None:
         def solve_Auu(r):
-            return gmres_fixed(Auu, r, precond=Mu_amg, m=m_u,
+            return gmres_fixed(Auu, r, precond=uu_vcycle, m=m_u,
                                reorth=False)
     elif cheb_u:
         from .chebyshev import chebyshev_fixed, estimate_lambda_max
@@ -172,6 +184,19 @@ def make_schur_precond(
             # approximate inverse; halves the non-matvec cost/iteration
             return gmres_fixed(Auu, r, precond=Mu, m=m_u,
                                reorth=False)
+
+    if sup_schur and uu_vcycle is not None:
+        def S(v_p):  # noqa: F811
+            """Near-true Schur action: App v - Apu Vcycle_uu(Aup v)."""
+            w = Aup(v_p)
+            z = uu_vcycle(w)
+            z = jnp.where(bc_mask_u, 0.0, z)
+            y = App(v_p) - Apu(z)
+            if bc_mask_p is not None:
+                y = jnp.where(bc_mask_p, v_p, y)
+            if pin_pressure:
+                y = y - jnp.mean(y)
+            return y
 
     if amg_on_p and hasattr(form, "sp_amg"):
         # aggregation-MG V-cycle on the EXPLICIT SELFP matrix

@@ -8,11 +8,12 @@ tolerance snes_rtol = 1e-4 with Eisenstat-Walker-style inexactness
 (:251-266). Here the relaxed outer tolerance is kept; the inner sweeps are
 fixed-iteration (flexible-outer-safe).
 
-NOTE: the native LSC preconditioner (cfdtpu/la/lsc.py, select with
-pc_type="lsc") currently stalls on convection-dominated steps; until its
-commutator scaling is tuned, these solvers default to the robust SELFP
-Schur preconditioner while keeping the reference solver names, kwargs and
-relaxed Newton tolerance.
+Round-3: the native LSC is delivered (cfdtpu/la/lsc.py, a
+stabilized scaled-LSC commutator preconditioning fixed GMRES sweeps on
+the SELFP Schur action — the round-2 stall was a sign error plus the
+missing PSPG stabilization term); these solvers now default to
+pc_type="lsc" per the reference semantics. pc_type="schur" remains
+available as an override.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from .stabilized_schur import Solver as BaseSolver
 
 
 class Solver(BaseSolver):
-    def __init__(self, *args, snes_rtol=None, pc_type="schur",
+    def __init__(self, *args, snes_rtol=None, pc_type="lsc",
                  snes_ksp_ew=True, **kwargs):
         super().__init__(
             *args,

@@ -8,12 +8,11 @@ native — see cfdtpu/la/pcd.py). PCDPC_vY applies pressure Dirichlet
 conditions on the OUTLET dofs of Ap (bcs_pcd in the appctx, :217-224);
 when the scenario provides an outlet tag, the same masking is applied.
 
-NOTE: the native PCD application (cfdtpu/la/pcd.py, select with
-pc_type="pcd") is effective in convection-dominated regimes but
-mismodels the PSPG-stabilized Schur complement in near-Stokes
-(low-Reynolds pressure-driven) configurations; these solvers default to
-the robust SELFP Schur preconditioner while keeping the reference solver
-names and semantics.
+Round-3: the native PCD is delivered (cfdtpu/la/pcd.py — the Fp
+reaction term fixed the near-Stokes mismodel, AMG on the assembled Ap
+made it h-robust, and the formula preconditions fixed GMRES sweeps on
+the SELFP Schur action); these solvers now default to pc_type="pcd"
+per the reference semantics. pc_type="schur" remains an override.
 """
 
 from __future__ import annotations
@@ -25,7 +24,7 @@ from .stabilized_schur import Solver as BaseSolver
 
 
 class Solver(BaseSolver):
-    def __init__(self, *args, pc_type="schur", **kwargs):
+    def __init__(self, *args, pc_type="pcd", **kwargs):
         super().__init__(*args, pc_type=pc_type, **kwargs)
 
     def _setup_boundary_terms(self, facet_tags, tags) -> None:

@@ -4,12 +4,11 @@ Rebuild of /root/reference/src/solvers/stabilized_pcd_bdf2.py: the
 stabilized_schur_bdf2 scheme with the native PCD Schur preconditioner
 (reference :71-73 adds the BDF constants to the PCD variant).
 
-NOTE: the native PCD application (cfdtpu/la/pcd.py, select with
-pc_type="pcd") is effective in convection-dominated regimes but
-mismodels the PSPG-stabilized Schur complement in near-Stokes
-(low-Reynolds pressure-driven) configurations; these solvers default to
-the robust SELFP Schur preconditioner while keeping the reference solver
-names and semantics.
+Round-3: the native PCD is delivered (cfdtpu/la/pcd.py — the Fp
+reaction term fixed the near-Stokes mismodel, AMG on the assembled Ap
+made it h-robust, and the formula preconditions fixed GMRES sweeps on
+the SELFP Schur action); these solvers now default to pc_type="pcd"
+per the reference semantics. pc_type="schur" remains an override.
 """
 
 from __future__ import annotations
@@ -21,7 +20,7 @@ from .stabilized_schur_bdf2 import Solver as BDF2Solver
 
 
 class Solver(BDF2Solver):
-    def __init__(self, *args, pc_type="schur", **kwargs):
+    def __init__(self, *args, pc_type="pcd", **kwargs):
         super().__init__(*args, pc_type=pc_type, **kwargs)
 
     def _setup_boundary_terms(self, facet_tags, tags) -> None:

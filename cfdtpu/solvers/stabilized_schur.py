@@ -289,13 +289,13 @@ class Solver(SolverBase):
 
         # assembled node-BSR operator: less HBM traffic per matvec and
         # per PC sub-block apply than element blocks (la/nodebsr.py);
-        # element path remains for sharded forms, PCD (needs the form's
-        # pressure-space operators) and non-equal-order variants
+        # element path remains for sharded forms and non-equal-order
+        # variants
         nodebsr = None
         if (
             self.operator_format == "node_bsr"
             and (self.n_shards is None or self._use_halo)
-            and pc_type in ("schur", "jacobi", "asm")
+            and pc_type in ("schur", "jacobi", "asm", "lsc", "pcd")
         ):
             from ..la.nodebsr import NodeBSR
 
@@ -303,29 +303,52 @@ class Solver(SolverBase):
                 nodebsr = NodeBSR(form)
             except ValueError:
                 nodebsr = None  # non-equal-order spaces: element path
-            if nodebsr is not None and self.pc_inner_method in (
-                "amg_p", "amg_up", "ras_up", "rasamg_up"
-            ):
-                # static SELFP sparsity + MG hierarchy must be built
-                # eagerly (numpy) — inside jit they would trace
+            amg_methods = (
+                "amg_p", "amg_up", "ras_up", "rasamg_up", "amg_sup",
+                "rasamg_sup",
+            )
+            need_sp = pc_type == "lsc" or (
+                pc_type == "schur"
+                and self.pc_inner_method in amg_methods
+            )
+            if nodebsr is not None and need_sp:
+                # static SELFP/BBt sparsity + MG hierarchy must be built
+                # eagerly (numpy) — inside jit they would trace (and
+                # under const-args the swapped attributes are tracers,
+                # so any np.asarray on them raises)
                 nodebsr.sp_structure()
                 nodebsr.sp_amg(pairwise=self.pc_amg_pairwise,
                                n_smooth=self.pc_amg_smooth)
-                if self.pc_inner_method == "amg_up":
+                if self.pc_inner_method in ("amg_up", "amg_sup"):
                     nodebsr.uu_amg()
                 elif self.pc_inner_method == "ras_up":
                     nodebsr.uu_ras(self.pc_ras_size, self.pc_ras_overlap)
-                elif self.pc_inner_method == "rasamg_up":
+                elif self.pc_inner_method in ("rasamg_up", "rasamg_sup"):
                     ras = nodebsr.uu_ras(
                         self.pc_ras_size, self.pc_ras_overlap
                     )
                     nodebsr.uu_amg(fine_smoother=ras)
+            if nodebsr is not None and pc_type == "pcd":
+                # eager static maps for the PCD Ap assembly + AMG
+                nodebsr.p_scatter_structure()
+                nodebsr.pp_amg()
+                if self.pc_inner_method in (
+                    "amg_up", "amg_sup", "rasamg_up", "rasamg_sup"
+                ):
+                    ras = (
+                        nodebsr.uu_ras(self.pc_ras_size,
+                                       self.pc_ras_overlap)
+                        if self.pc_inner_method.startswith("rasamg")
+                        else None
+                    )
+                    nodebsr.uu_amg(fine_smoother=ras)
         self._nodebsr = nodebsr
-        amg_active = (
-            nodebsr is not None
-            and self.pc_inner_method in (
-                "amg_p", "amg_up", "ras_up", "rasamg_up"
+        amg_active = nodebsr is not None and (
+            self.pc_inner_method in (
+                "amg_p", "amg_up", "ras_up", "rasamg_up", "amg_sup",
+                "rasamg_sup",
             )
+            or pc_type in ("lsc", "pcd")
         )
         pc_bf16 = (
             self.pc_dtype == "bf16"
@@ -402,10 +425,13 @@ class Solver(SolverBase):
                     from ..la.lsc import make_lsc_precond
 
                     precond = make_lsc_precond(
-                        form, A_cells, A_blocks, bc_mask_u,
+                        ops, A_pc, A_blocks, bc_mask_u,
                         pin_pressure and not has_bc_p,
                         m_u=pc_inner_u, m_p=pc_inner_p,
                         bc_mask_p=bc_mask_p,
+                        inner_method=self.pc_inner_method,
+                        ras_opts=(self.pc_ras_size, self.pc_ras_overlap),
+                        mass_diag=form.velocity_mass_diagonal(),
                     )
                     return matvec, precond
                 if pc_type == "pcd":
@@ -420,10 +446,13 @@ class Solver(SolverBase):
                             else (pcd_mask | self._pcd_bc_mask)
                         )
                     precond = make_pcd_precond(
-                        form, A_cells, A_blocks, Ap_e, Mp_e, Fp_e,
+                        ops, A_pc, A_blocks, Ap_e, Mp_e, Fp_e,
                         bc_mask_u, pin_pressure and not has_bc_p,
                         m_u=pc_inner_u, m_p=pc_inner_p,
                         bc_mask_p=pcd_mask,
+                        p_form=form,
+                        inner_method=self.pc_inner_method,
+                        ras_opts=(self.pc_ras_size, self.pc_ras_overlap),
                     )
                     return matvec, precond
 

@@ -50,6 +50,9 @@ class Solver(BaseSolver):
             "bdf_a0": jnp.asarray(a0, dt),
             "bdf_a1": jnp.asarray(a1, dt),
             "bdf_a2": jnp.asarray(a2, dt),
+            # BDF2 convection is fully implicit at u_sol, so the PCD
+            # commutator mirrors it with theta = 1 (CN uses 1/2)
+            "pcd_theta": jnp.asarray(1.0, dt),
         }
 
     def solveStep(self) -> None:

@@ -11,11 +11,11 @@ import time
 import jax
 
 
-def run(res_scale, steps=3, **kw):
+def run(res_scale, steps=3, dt=0.05, **kw):
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
 
     sc = DFG1Benchmark(
-        "stabilized_schur", dt=0.05, T=1e9, res_scale=res_scale,
+        "stabilized_schur", dt=dt, T=1e9, res_scale=res_scale,
         dtype="auto", **kw,
     )
     s = sc.solver
@@ -36,6 +36,7 @@ def run(res_scale, steps=3, **kw):
 def main():
     res_scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
     import json, os
+    dt = float(os.environ.get("SWEEP_DT", "0.05"))
     cfgs = os.environ.get("SWEEP_CONFIGS")
     cfgs = (json.loads(cfgs) if cfgs else [
         {"pc_schur_fact": "lower"},
@@ -44,7 +45,7 @@ def main():
     ])
     for kw in cfgs:
         try:
-            run(res_scale, **kw)
+            run(res_scale, dt=dt, **kw)
         except Exception as e:
             print(f"CONFIG {kw} FAILED: {type(e).__name__}: {e}",
                   flush=True)
