@@ -29,11 +29,15 @@ TPU-native realization on the supernode layout (la/superell.py):
   dropped), with local inner sweeps — the analogue of the reference's
   ASM sub-PCs (stabilized_schur.py:261-264).
 
-Phase-1 scope (documented trade): residual evaluation and Jacobian
-assembly are computed replicated inside the shard_map region (every
-shard redundantly); they run once per Newton iteration vs O(10-100)
-Krylov iterations, which carry all the sharding. Sharded ghosted-cell
-assembly is the follow-up.
+Phase-2 (round 3): residual evaluation and Jacobian assembly run
+SHARDED — each shard sweeps only the cells touching its owned rows
+(ghosted cells) and assembles exactly its owned supernode rows via the
+static maps in dist/shard_assembly.py; boundary cells are swept by each
+neighbouring shard (owner-computes, no REVERSE accumulation). The
+global COO view needed by the SELFP/coarse-grid/diagonal builds is
+reconstructed transiently with one all_gather per preconditioner build
+(lagged PC => once per step). CFDTPU_SHARD_ASSEMBLY=off reverts to the
+round-2 replicated assembly.
 """
 
 from __future__ import annotations
@@ -192,6 +196,17 @@ def build_halo_step(solver):
     device_mesh = make_device_mesh(int(solver.n_shards), "shards")
     S, L, Kg, gbs = maps.S, maps.L, maps.Kg, maps.gbs
     g, bs = maps.g, maps.bs
+
+    # phase-2 sharded (ghosted-cell) assembly: per-shard element sweeps
+    # over owned+ghost cells, owner-computes row assembly
+    # (dist/shard_assembly.py). CFDTPU_SHARD_ASSEMBLY=off reverts to the
+    # round-2 replicated assembly for debugging.
+    use_shard_asm = os.environ.get("CFDTPU_SHARD_ASSEMBLY") != "off"
+    sam = None
+    if use_shard_asm:
+        from .shard_assembly import ShardAssemblyMaps
+
+        sam = ShardAssemblyMaps(bsr, S, L)
     d = bsr.dim
     gd = g * d
     n = bsr.n_nodes
@@ -304,27 +319,139 @@ def build_halo_step(solver):
             return ravel(ru, rp)
 
         def sharded_body(pack_idx, halo_src, lc, lc_pc, dslot, has_diag,
-                         bc_loc, pval_loc, valid_loc):
+                         bc_loc, pval_loc, valid_loc, sam_ops=()):
             """Closure factory: everything below runs inside shard_map
             with the maps as per-shard local arrays."""
+            if sam_ops:
+                (cells_loc, ell_jac, blk_ids,
+                 sup_pos_loc, ell_res) = sam_ops
+
+            def local_jacobian(u, p):
+                """Per-shard ghosted-cell Jacobian assembly: sweep only
+                this shard's cells, assemble exactly its owned sup rows
+                (dist/shard_assembly.py maps), and reconstruct the
+                global COO transiently (one all_gather per PC build,
+                lagged => once per step) for the SELFP/coarse/diagonal
+                builds that operate on the global graph."""
+                dm_u = form.dofmap_u[cells_loc]
+                xe = jnp.concatenate(
+                    [u[dm_u].reshape(sam.Lc, -1),
+                     p[form.dofmap_p[cells_loc]]], axis=1,
+                )
+                aux_e = tuple(a[dm_u] for a in aux)
+                fk = form._flat_cell_kernel()
+                A_loc = jax.vmap(
+                    jax.jacfwd(fk), in_axes=(0, 0, 0, 0, None)
+                )(xe, aux_e, form.cell_coords[cells_loc],
+                  form.cell_h[cells_loc], prm)
+                r = bsr._ridx
+                ent = [
+                    A_loc[:, r[:, None, :, None], r[None, :, None, :]]
+                    .reshape(-1, bs, bs)
+                ]
+                # facet jacobians: boundary-only, O(sqrt(n)) elements —
+                # swept replicated; the ELL maps route owned rows only
+                for block in form._facet_blocks:
+                    dm_uf = block["dofmap_u"]
+                    xef = jnp.concatenate(
+                        [u[dm_uf].reshape(len(dm_uf), -1),
+                         p[block["dofmap_p"]]], axis=1,
+                    )
+                    aux_ef = tuple(a[dm_uf] for a in aux)
+                    ffk = form._flat_facet_kernel(block["kernel"])
+                    A_f = jax.vmap(
+                        jax.jacfwd(ffk), in_axes=(0, 0, 0, 0, None)
+                    )(xef, aux_ef, block["coords"], block["tabs"], prm)
+                    ent.append(
+                        A_f[:, r[:, None, :, None], r[None, :, None, :]]
+                        .reshape(-1, bs, bs)
+                    )
+                ent = jnp.concatenate(ent, axis=0)
+                src = jnp.concatenate(
+                    [ent, jnp.zeros((1, bs, bs), ent.dtype)], axis=0
+                )
+                blocks_loc = src[ell_jac].sum(axis=1)  # (NB, bs, bs)
+                flat = jnp.zeros(
+                    (sam.sup_flat_len,), blocks_loc.dtype
+                ).at[sup_pos_loc.reshape(-1)].set(
+                    blocks_loc.reshape(-1), unique_indices=True,
+                    mode="promise_in_bounds",
+                )
+                vloc = flat[: L * Kg * gbs * gbs].reshape(
+                    L, Kg, gbs, gbs
+                )
+                coo_all = jax.lax.all_gather(blocks_loc, "shards")
+                ids_all = jax.lax.all_gather(blk_ids, "shards")
+                coo = jnp.zeros(
+                    (sam.nb_glob + 1, bs, bs), blocks_loc.dtype
+                ).at[ids_all.reshape(-1)].set(
+                    coo_all.reshape(-1, bs, bs)
+                )
+                return vloc, {"coo": coo[: sam.nb_glob]}
+
+            def F_sharded(x):
+                """Owned-row residual from this shard's cells, gathered
+                to the replicated full vector Newton needs for line
+                search/norms (O(n) collective; the element sweep — the
+                cost — is 1/S per shard)."""
+                u, p = unravel(x)
+                dm_u = form.dofmap_u[cells_loc]
+                u_e = u[dm_u]
+                p_e = p[form.dofmap_p[cells_loc]]
+                aux_e = tuple(a[dm_u] for a in aux)
+                kernel = jax.vmap(
+                    form._kernel, in_axes=(0, 0, 0, 0, 0, None)
+                )
+                ru_e, rp_e = kernel(
+                    u_e, p_e, aux_e, form.cell_coords[cells_loc],
+                    form.cell_h[cells_loc], prm,
+                )
+                stream = [ru_e.reshape(-1), rp_e.reshape(-1)]
+                for block in form._facet_blocks:
+                    _, ru_f = form._block_residual(
+                        block, u, p, aux, prm
+                    )
+                    stream.append(ru_f.reshape(-1))
+                stream.append(jnp.zeros((1,), ru_e.dtype))
+                src = jnp.concatenate(stream)
+                r_loc = src[ell_res].sum(axis=1)  # (L*gbs,)
+                full = jax.lax.all_gather(
+                    r_loc.reshape(L, gbs), "shards"
+                ).reshape(maps.ns_pad, gbs)
+                rf = sup_to_flat(full)
+                ru = rf[:n_u_flat].reshape(n, d)
+                rp = rf[n_u_flat:]
+                if has_bc_u:
+                    ru = ru.at[bc_dofs_u].set(u[bc_dofs_u] - bc_u_vals)
+                if has_bc_p:
+                    rp = rp.at[bc_dofs_p].set(p[bc_dofs_p] - bc_p_vals)
+                if pin_pressure:
+                    rp = rp - jnp.mean(rp)
+                return ravel(ru, rp)
+
+            F_use = F_sharded if sam_ops else F
 
             def solve_newton(x0):
                 def make_operator(x):
                     u, p = unravel(x)
-                    A_cells, A_blocks = form.element_jacobians(
-                        u, p, aux, prm
-                    )
-                    vals = bsr.assemble(A_cells, A_blocks)
-                    sup = vals["sup"]  # (ns, Kg, gbs, gbs) replicated
-                    sup_pad = jnp.zeros(
-                        (maps.ns_pad, Kg, gbs, gbs), sup.dtype
-                    ).at[:ns].set(sup)
+                    if sam_ops:
+                        vloc, vals = local_jacobian(u, p)
+                    else:
+                        A_cells, A_blocks = form.element_jacobians(
+                            u, p, aux, prm
+                        )
+                        vals = bsr.assemble(A_cells, A_blocks)
+                        sup = vals["sup"]  # (ns,Kg,gbs,gbs) replicated
+                        sup_pad = jnp.zeros(
+                            (maps.ns_pad, Kg, gbs, gbs), sup.dtype
+                        ).at[:ns].set(sup)
+                        s_idx0 = jax.lax.axis_index("shards")
+                        zero = jnp.zeros((), s_idx0.dtype)
+                        vloc = jax.lax.dynamic_slice(
+                            sup_pad, (s_idx0 * L, zero, zero, zero),
+                            (L, Kg, gbs, gbs),
+                        )
                     s_idx = jax.lax.axis_index("shards")
-                    zero = jnp.zeros((), s_idx.dtype)
-                    vloc = jax.lax.dynamic_slice(
-                        sup_pad, (s_idx * L, zero, zero, zero),
-                        (L, Kg, gbs, gbs),
-                    )
 
                     bc_m = bc_loc.reshape(L, gbs)
                     pv = pval_loc.reshape(L, gbs)
@@ -529,7 +656,7 @@ def build_halo_step(solver):
                     return ravel(du, dp - jnp.mean(dp))
 
                 return newton_solve(
-                    F, x0, newton_params,
+                    F_use, x0, newton_params,
                     make_operator=make_operator,
                     project=project if pin_pressure else None,
                     shard=(to_local, from_local, reduce),
@@ -538,11 +665,12 @@ def build_halo_step(solver):
             return solve_newton
 
         def run(pack_idx, halo_src, lc, lc_pc, dslot, has_diag,
-                bc_loc, pval_loc, valid_loc, u0, p0):
+                bc_loc, pval_loc, valid_loc, u0, p0, *sam_stacked):
             # P("shards") operands arrive with a leading local axis of 1
             solve_newton = sharded_body(
                 pack_idx[0], halo_src[0], lc[0], lc_pc[0], dslot[0],
                 has_diag[0], bc_loc[0], pval_loc[0], valid_loc[0],
+                sam_ops=tuple(e[0] for e in sam_stacked),
             )
             x0 = ravel(u0, p0)
             if pin_pressure:
@@ -557,6 +685,10 @@ def build_halo_step(solver):
         pval_sh = pvalid_sup.astype(u_guess.dtype).reshape(S, L * gbs)
         valid_sh = (valid_sup > 0).reshape(S, L * gbs)
 
+        sam_operands = () if sam is None else (
+            sam.local_cells, sam.ell_jac, sam.blk_ids,
+            sam.sup_pos_loc, sam.ell_res,
+        )
         sharded = shard_map(
             run,
             mesh=device_mesh,
@@ -564,7 +696,7 @@ def build_halo_step(solver):
                 P("shards"), P("shards"), P("shards"), P("shards"),
                 P("shards"), P("shards"), P("shards"), P("shards"),
                 P("shards"), P(), P(),
-            ),
+            ) + (P("shards"),) * len(sam_operands),
             out_specs=(P(), P(), P(), P(), P()),
             check_rep=False,
         )
@@ -572,6 +704,7 @@ def build_halo_step(solver):
             maps.pack_idx, maps.halo_src, maps.local_cols,
             maps.local_cols_pc, maps.diag_slot, maps.has_diag,
             bc_mask_sh, pval_sh, valid_sh, u_guess, p_guess,
+            *sam_operands,
         )
 
     return step
