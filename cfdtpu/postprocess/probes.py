@@ -44,6 +44,65 @@ def _locate_simplex(mesh, points, tol=1e-6):
     return found, bary_out
 
 
+def _locate_tensor(mesh, points, tol=1e-6):
+    """(cells, xi) for quad/hex meshes: candidate cells by bounding box,
+    then Newton inversion of the multilinear vertex map per candidate
+    (reference domain [0,1]^d, vertices bit-ordered: x-bit 1, y-bit 2,
+    z-bit 4 — elements/cells.py _VERTICES). Falls back to the candidate
+    with the least reference-coordinate violation (float32 meshes put
+    boundary points epsilon outside every cell)."""
+    pts = mesh.points.astype(np.float64)
+    d = mesh.dim
+    nv = 2 ** d
+    verts = pts[mesh.cells[:, :nv]]  # (nc, nv, d)
+    lo = verts.min(axis=1)
+    hi = verts.max(axis=1)
+    pad = tol * max(1.0, float(np.max(hi - lo)))
+    bits = (np.arange(nv)[:, None] >> np.arange(d)[None, :]) & 1  # (nv,d)
+
+    def shape(xi):  # (d,) -> N (nv,), dN (nv, d)
+        fac = np.where(bits == 1, xi[None, :], 1.0 - xi[None, :])
+        N = fac.prod(axis=1)
+        dN = np.empty((nv, d))
+        dsign = np.where(bits == 1, 1.0, -1.0)
+        for k in range(d):
+            oth = np.delete(fac, k, axis=1).prod(axis=1)
+            dN[:, k] = dsign[:, k] * oth
+        return N, dN
+
+    npnt = points.shape[0]
+    found = np.full(npnt, -1, dtype=np.int64)
+    xi_out = np.zeros((npnt, d))
+    for i, p in enumerate(points):
+        cand = np.where(
+            ((lo - pad) <= p).all(axis=1) & (p <= (hi + pad)).all(axis=1)
+        )[0]
+        best_viol, best = np.inf, (-1, None)
+        for c in cand:
+            vx = verts[c]  # (nv, d)
+            xi = np.full(d, 0.5)
+            for _ in range(20):
+                N, dN = shape(xi)
+                r = N @ vx - p
+                if np.abs(r).max() < 1e-13 * max(1.0, np.abs(p).max()):
+                    break
+                # X(xi) = N(xi) @ vx -> dX_j/dxi_k = sum_v dN[v,k] vx[v,j]
+                J = np.einsum("vk,vj->jk", dN, vx)
+                xi = xi - np.linalg.solve(J, r)
+            viol = max(0.0, float(np.max(np.maximum(-xi, xi - 1.0))))
+            if viol <= tol:
+                found[i] = c
+                xi_out[i] = np.clip(xi, 0.0, 1.0)
+                break
+            if viol < best_viol:
+                best_viol, best = viol, (c, xi)
+        else:
+            if best[0] >= 0 and best_viol < 0.05:
+                found[i] = best[0]
+                xi_out[i] = np.clip(best[1], 0.0, 1.0)
+    return found, xi_out
+
+
 def eval_at_points(space: FunctionSpace, fn, points) -> np.ndarray:
     """Evaluate a Function array at physical points (n, gdim).
 
@@ -61,9 +120,14 @@ def eval_at_points(space: FunctionSpace, fn, points) -> np.ndarray:
             raise ValueError(f"points outside mesh: {bad}")
         # reference coords: for our simplex ordering, xi = bary[1:]
         xi = bary[:, 1:]
+    elif mesh.cell_type in (CellType.quadrilateral, CellType.hexahedron):
+        cells, xi = _locate_tensor(mesh, points)
+        if (cells < 0).any():
+            bad = points[cells < 0]
+            raise ValueError(f"points outside mesh: {bad}")
     else:
         raise NotImplementedError(
-            "point evaluation on tensor cells not yet implemented"
+            f"point evaluation on {mesh.cell_type} cells"
         )
 
     el = space.element
