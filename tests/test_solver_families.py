@@ -194,3 +194,25 @@ def test_aux_pressure_recovery():
     assert np.corrcoef(pi, pe)[0, 1] > 0.99
     slope = np.polyfit(xq[inner, 0], pi, 1)[0]
     assert abs(slope - (-G)) < 0.25 * G
+
+
+# -- PC option coverage (round-2 weak #3 tail: the chebyshev/jacobi and
+# -- amg/RAS inner methods had no test exercising them) -----------------
+
+@pytest.mark.parametrize("kw", [
+    {"pc_type": "jacobi"},
+    {"pc_inner_method": "chebyshev"},
+    {"pc_inner_method": "rasamg_up"},
+    {"pc_inner_method": "amg_sup"},
+    {"pc_inner_method": "rasamg_sup"},
+])
+def test_pc_options_converge(tmp_path, kw):
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.02, mu=0.01, nx=10, **kw
+    )
+    sc.solve(str(tmp_path))
+    assert sc.solver.last_stats["converged"]
+    # point-Jacobi is legitimately slow; the AMG-family methods must
+    # stay within a small factor of the amg_p default (~4/step here)
+    cap = 150 if kw.get("pc_type") == "jacobi" else 25
+    assert sc.solver.last_stats["ksp_iters"] <= cap
