@@ -293,9 +293,17 @@ class BlockAMG(AMG):
         self.d = int(d)
         self.fine_smoother = fine_smoother
         super().__init__(row, col, n, coarse_size=coarse_size, **kw)
+        # EAGER precompute of every level's block positions: build()
+        # runs inside jit, and under the const-args path the level
+        # row/col attributes are swapped for tracers during tracing —
+        # a lazy np.asarray there raises TracerArrayConversionError
+        # (surfaced at 153k DOF where the maps cross the 1 MB
+        # const-extraction threshold).
+        for k in range(len(self.levels)):
+            self._block_pos(k)
 
     def _block_pos(self, k):
-        """Per-level block placement positions (lazy, cached)."""
+        """Per-level block placement positions (eager, cached)."""
         if not hasattr(self, "_bpos"):
             self._bpos = {}
         if k not in self._bpos:
