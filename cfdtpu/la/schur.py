@@ -185,6 +185,13 @@ def make_schur_precond(
             return gmres_fixed(Auu, r, precond=Mu, m=m_u,
                                reorth=False)
 
+    if m_u == 0 and uu_vcycle is not None:
+        # preonly u-stage (the PETSc fieldsplit_u preonly idiom): one
+        # V-cycle application, no Krylov wrap — skips the Auu matvec
+        # per sweep entirely; the outer FGMRES corrects the error
+        def solve_Auu(r):  # noqa: F811
+            return uu_vcycle(r)
+
     if sup_schur and uu_vcycle is not None:
         def S(v_p):  # noqa: F811
             """Near-true Schur action: App v - Apu Vcycle_uu(Aup v)."""
@@ -223,13 +230,24 @@ def make_schur_precond(
         def Mp_vcycle(v):
             return amg.v_cycle(level_vals, v)
 
-        def solve_S(r):
-            if pin_pressure:
-                r = r - jnp.mean(r)
-            z = gmres_fixed(S, r, precond=Mp_vcycle, m=m_p, reorth=False)
-            if pin_pressure:
-                z = z - jnp.mean(z)
-            return z
+        if m_p == 0:
+            # preonly S-stage: one SELFP-AMG V-cycle
+            def solve_S(r):
+                if pin_pressure:
+                    r = r - jnp.mean(r)
+                z = Mp_vcycle(r)
+                if pin_pressure:
+                    z = z - jnp.mean(z)
+                return z
+        else:
+            def solve_S(r):
+                if pin_pressure:
+                    r = r - jnp.mean(r)
+                z = gmres_fixed(S, r, precond=Mp_vcycle, m=m_p,
+                                reorth=False)
+                if pin_pressure:
+                    z = z - jnp.mean(z)
+                return z
     elif cheb_p:
         from .chebyshev import chebyshev_fixed, estimate_lambda_max
 

@@ -44,6 +44,8 @@ class DFG1Benchmark(Scenario):
         rho=1,
         mu=1 / 1000,
         res_scale=1.0,
+        res_min=None,
+        res_max=None,
         dtype="auto",
         **solver_kwargs,
     ):
@@ -53,6 +55,11 @@ class DFG1Benchmark(Scenario):
         self.mu = mu
         self.rho = rho
         self.res_scale = float(res_scale)
+        # independent ring/far sizing (geom/dfg.py defaults R/6, H/13):
+        # a finer obstacle ring (res_min) sharpens c_L without the global
+        # DOF cost of res_scale (VERDICT round-2 accuracy item)
+        self.res_min = None if res_min is None else float(res_min)
+        self.res_max = None if res_max is None else float(res_max)
         self._dtype = resolve_dtype(dtype)
         super().__init__(
             solver_name, "dfg_1", rho, mu, dt, T, f, **solver_kwargs
@@ -68,6 +75,8 @@ class DFG1Benchmark(Scenario):
 
     def generate_mesh(self):
         return generate_dfg_mesh(
+            res_min=self.res_min,
+            res_max=self.res_max,
             res_scale=self.res_scale,
             dtype=self._dtype,
             inlet_marker=self.inlet_marker,

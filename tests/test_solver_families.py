@@ -205,6 +205,9 @@ def test_aux_pressure_recovery():
     {"pc_inner_method": "rasamg_up"},
     {"pc_inner_method": "amg_sup"},
     {"pc_inner_method": "rasamg_sup"},
+    # preonly stages (m == 0 -> one V-cycle, no Krylov wrap)
+    {"pc_inner_method": "rasamg_sup", "pc_inner_u": 0, "pc_inner_p": 4},
+    {"pc_inner_method": "rasamg_sup", "pc_inner_u": 1, "pc_inner_p": 0},
 ])
 def test_pc_options_converge(tmp_path, kw):
     sc = LidDriven2DSimulation(
