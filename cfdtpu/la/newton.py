@@ -48,6 +48,14 @@ class NewtonParams:
     # GMRES absorbs. Within one transient time step the state moves
     # little, so iteration counts barely change.
     pc_lag: bool = False
+    # Lag the JACOBIAN too (PETSc -snes_lag_jacobian -1: chord Newton):
+    # assemble the operator once from the initial state and reuse its
+    # action AND preconditioner for every Newton iteration of the step.
+    # Saves the per-iteration element sweep + assembly (the dominant
+    # fixed cost once iteration counts are low); convergence degrades
+    # from quadratic to linear, which the extrapolated warm start keeps
+    # cheap within a transient step. The line search safeguards.
+    jac_lag: bool = False
 
 
 def newton_solve(
@@ -94,7 +102,10 @@ def newton_solve(
     ftol = jnp.maximum(p.atol, p.rtol * f0norm)
 
     M_lagged = None
-    if p.pc_lag and make_operator is not None:
+    OP_lagged = None
+    if p.jac_lag and make_operator is not None:
+        OP_lagged = make_operator(x0)
+    elif p.pc_lag and make_operator is not None:
         _, M_lagged = make_operator(x0)
 
     def cond(state):
@@ -104,7 +115,9 @@ def newton_solve(
     def body(state):
         x, f, fnorm, it, ksp_total, done, lsfail, eta = state
 
-        if make_operator is not None:
+        if OP_lagged is not None:
+            matvec, M = OP_lagged
+        elif make_operator is not None:
             matvec, M = make_operator(x)
             if M_lagged is not None:
                 M = M_lagged

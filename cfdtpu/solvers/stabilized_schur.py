@@ -70,6 +70,7 @@ class Solver(SolverBase):
         operator_format: str = "node_bsr",
         snes_ksp_ew: bool = False,
         snes_lag_preconditioner: bool = True,
+        snes_lag_jacobian: bool = False,
         predictor: str = "previous",
         pc_dtype: str = "same",
         pc_amg_pairwise: bool = False,
@@ -142,6 +143,7 @@ class Solver(SolverBase):
             ksp_maxiter=int(ksp_max_it),
             ew=bool(snes_ksp_ew),
             pc_lag=bool(snes_lag_preconditioner),
+            jac_lag=bool(snes_lag_jacobian),
         )
         self.last_stats: dict = {}
         self.step_count = 0
