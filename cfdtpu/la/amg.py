@@ -24,6 +24,36 @@ import jax.numpy as jnp
 from jax import ops as jox
 
 
+def _gcr2(matvec, precond, b):
+    """Two GCR iterations on A x = b from x0 = 0, preconditioner M.
+
+    The Krylov acceleration of Notay's K-cycle: at coarse levels the
+    single recursive cycle is replaced by two M-preconditioned minimal-
+    residual steps, which restores (near) h-independent convergence for
+    plain-aggregation hierarchies whose V-cycle factor degrades with
+    depth. All dot products stay on device — no host sync under jit.
+
+    NONLINEAR in b (coefficients depend on the rhs): only valid where
+    the surrounding iteration is flexible (fgmres / gmres_fixed store Z)
+    or preonly — never inside a linear operator such as the *_sup
+    near-true Schur product (la/schur.py keeps that call plain-V).
+    """
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny ** 0.5, b.dtype)
+    z1 = precond(b)
+    q1 = matvec(z1)
+    q1q1 = jnp.maximum(jnp.vdot(q1, q1), tiny)
+    a1 = jnp.vdot(q1, b) / q1q1
+    x = a1 * z1
+    r = b - a1 * q1
+    z2 = precond(r)
+    q2 = matvec(z2)
+    beta = jnp.vdot(q1, q2) / q1q1
+    z2 = z2 - beta * z1
+    q2 = q2 - beta * q1
+    a2 = jnp.vdot(q2, r) / jnp.maximum(jnp.vdot(q2, q2), tiny)
+    return x + a2 * z2
+
+
 def build_aggregates(row, col, n: int, pairwise: bool = False
                      ) -> np.ndarray:
     """Aggregation over the graph (row, col) -> agg id per node.
@@ -135,7 +165,7 @@ class AMG:
                  omega: float = 0.67, n_smooth: int = 1,
                  agg_row: np.ndarray | None = None,
                  agg_col: np.ndarray | None = None,
-                 pairwise: bool = False):
+                 pairwise: bool = False, kcycle: bool = False):
         """row/col: COO graph of the operator. agg_row/agg_col: optional
         SPARSER graph to aggregate on — for the SELFP matrix (distance-2
         sparsity, ~19 neighbours) aggregating on the distance-1 node
@@ -144,6 +174,10 @@ class AMG:
         refinement."""
         self.omega = omega
         self.n_smooth = n_smooth
+        # kcycle: accelerate coarse corrections with _gcr2 (Notay
+        # K-cycle). Mutable — factories flip it on cached hierarchies;
+        # v_cycle(kcycle=False) forces a plain (LINEAR) cycle per call.
+        self.kcycle = bool(kcycle)
         self.levels: list[AMGLevel] = []
         self.coo = []  # (row, col, n) per level, jnp row/col
         self.sup = []  # (SuperMaps, positions) per level — matvec layout
@@ -234,17 +268,30 @@ class AMG:
         d = jnp.sum(jnp.abs(sup_vals), axis=(1, 3)).reshape(-1)
         return jnp.maximum(d[: maps.n], 1e-30)
 
-    def v_cycle(self, built, b, diag0=None):
+    def v_cycle(self, built, b, diag0=None, kcycle: bool | None = None):
         """One V(n_smooth, n_smooth) cycle for A x = b, x0 = 0.
-        `built` is the (levels, coarse_inv) pytree from build()."""
+        `built` is the (levels, coarse_inv) pytree from build().
+        kcycle=True upgrades coarse corrections to the _gcr2-accelerated
+        K-cycle (see class doc; default: the hierarchy's setting).
+        Pass kcycle=False wherever the result must be LINEAR in b."""
         level_vals, coarse_inv = built
         nl = len(self.levels)
+        kc = self.kcycle if kcycle is None else kcycle
 
         def smooth(k, vals, d, x, b, iters):
             for _ in range(iters):
                 r = b - self._matvec(k, vals, x)
                 x = x + self.omega * r / d
             return x
+
+        def csolve(k, rc):
+            """Coarse-level solve at level k (the correction step)."""
+            if k == nl or not kc:
+                return descend(k, rc)
+            return _gcr2(
+                lambda v: self._matvec(k, level_vals[k][0], v),
+                lambda v: descend(k, v), rc,
+            )
 
         def descend(k, b):
             if k == nl:
@@ -258,7 +305,7 @@ class AMG:
                 r, self.levels[k].agg,
                 num_segments=self.levels[k].n_coarse,
             )
-            xc = descend(k + 1, rc)
+            xc = csolve(k + 1, rc)
             x = x + xc[self.levels[k].agg]
             return smooth(k, vals, d, x, b, self.n_smooth)
 
@@ -373,11 +420,12 @@ class BlockAMG(AMG):
         dsum = jnp.sum(jnp.abs(sup_vals), axis=(1, 3)).reshape(-1)
         return jnp.maximum(dsum[: maps.n * self.d], 1e-30)
 
-    def v_cycle(self, built, b, diag0=None):
+    def v_cycle(self, built, b, diag0=None, kcycle: bool | None = None):
         level_vals, coarse_inv, ras_inv = built
         nl = len(self.levels)
         d = self.d
         ras = self.fine_smoother
+        kc = self.kcycle if kcycle is None else kcycle
 
         def smooth(k, vals, dg, x, b, iters):
             if k == 0 and ras_inv is not None:
@@ -389,6 +437,14 @@ class BlockAMG(AMG):
                 r = b - self._matvec_block(k, vals, x)
                 x = x + self.omega * r / dg
             return x
+
+        def csolve(k, rc):
+            if k == nl or not kc:
+                return descend(k, rc)
+            return _gcr2(
+                lambda v: self._matvec_block(k, level_vals[k][0], v),
+                lambda v: descend(k, v), rc,
+            )
 
         def descend(k, b):
             if k == nl:
@@ -405,7 +461,7 @@ class BlockAMG(AMG):
                 r.reshape(-1, d), agg,
                 num_segments=self.levels[k].n_coarse,
             ).reshape(-1)
-            xc = descend(k + 1, rc)
+            xc = csolve(k + 1, rc)
             x = x + xc.reshape(-1, d)[agg].reshape(-1)
             return smooth(k, vals, dg, x, b, self.n_smooth)
 

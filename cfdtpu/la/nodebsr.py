@@ -430,9 +430,11 @@ class NodeBSR:
         assembly don't apply to these pure-Q operators."""
         return self.p_scatter_structure()(P_e.reshape(-1))
 
-    def sp_amg(self, pairwise=False, n_smooth=1):
+    def sp_amg(self, pairwise=False, n_smooth=1, kcycle=None):
         """Aggregation-MG hierarchy on the explicit SELFP graph
-        (aggregates formed on the distance-1 node graph, see la/amg.py)."""
+        (aggregates formed on the distance-1 node graph, see la/amg.py).
+        kcycle: None leaves the cached hierarchy's setting untouched;
+        a bool sets it (structure is kcycle-independent)."""
         if getattr(self, "_sp_amg_h", None) is None:
             from .amg import AMG
 
@@ -443,6 +445,8 @@ class NodeBSR:
                 agg_col=np.asarray(self.block_col),
                 pairwise=pairwise, n_smooth=int(n_smooth),
             )
+        if kcycle is not None:
+            self._sp_amg_h.kcycle = bool(kcycle)
         return self._sp_amg_h
 
     # -- velocity-block AMG hooks (see la/amg.py BlockAMG) ---------------
@@ -462,12 +466,15 @@ class NodeBSR:
         add = mask[:, :, None] * jnp.eye(d, dtype=v.dtype)[None]
         return v.at[self._diag_pos].set(dv + add)
 
-    def uu_amg(self, fine_smoother=None):
+    def uu_amg(self, fine_smoother=None, kcycle=None):
         """Block-aggregation-MG hierarchy on the velocity node graph
         (static structure, built once and cached) — the h-robust inner
         PC for the convection-dominated A_uu sweeps. fine_smoother: an
         optional RASPrecond used as the finest-level smoother (the
-        ASM+ILU-strength analogue, la/ras.py)."""
+        ASM+ILU-strength analogue, la/ras.py). kcycle: None keeps the
+        cached setting; a bool sets it (only honored where the caller
+        is flexible — la/schur.py forces kcycle=False inside the *_sup
+        linear S operator)."""
         cached = getattr(self, "_uu_amg_h", None)
         if cached is None or cached.fine_smoother is not fine_smoother:
             from .amg import BlockAMG
@@ -476,6 +483,8 @@ class NodeBSR:
                 np.asarray(self.block_row), np.asarray(self.block_col),
                 self.n_nodes, d=self.dim, fine_smoother=fine_smoother,
             )
+        if kcycle is not None:
+            self._uu_amg_h.kcycle = bool(kcycle)
         return self._uu_amg_h
 
     def uu_ras(self, s: int = 16, overlap: int = 4):

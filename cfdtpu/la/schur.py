@@ -17,6 +17,14 @@ Full (LDU) application for rhs (r_u, r_p):
     r_s  = r_p - A_pu z_u1
     z_p  = S^-1 r_s            (S applied matrix-free via SELFP blocks)
     z_u  = z_u1 - Auu^-1 (A_up z_p)
+
+The build/apply split (build_schur_state / make_schur_precond_from_state)
+exists so the EXPENSIVE numeric state — SELFP assembly, AMG hierarchy
+values, RAS factorizations, diagonals — can be computed once and carried
+across TIME STEPS as a pytree (the cross-step analogue of PETSc
+-snes_lag_preconditioner_persists; solver kwarg pc_lag_steps). The
+closures themselves are rebuilt per jitted call, which costs nothing
+under jit.
 """
 
 from __future__ import annotations
@@ -26,31 +34,17 @@ import jax.numpy as jnp
 from .gmres import gmres_fixed
 
 
-def make_schur_precond(
-    form,
-    A_cells,
-    A_blocks,
-    bc_mask_u,
-    pin_pressure: bool,
-    m_u: int = 8,
-    m_p: int = 10,
-    full: bool = True,
-    bc_mask_p=None,
-    inner_method: str = "gmres",
-    ras_opts: tuple[int, int] = (16, 4),
-):
-    """Build v -> M v approximating J^{-1} v.
+def _safe(d):
+    scale = jnp.max(jnp.abs(d))
+    floor = 1e-12 * scale
+    return jnp.where(
+        jnp.abs(d) < floor, jnp.where(d < 0, -floor, floor), d
+    )
 
-    Args:
-        form: StabilizedNSForm (provides apply_sub_block / layout)
-        A_cells, A_blocks: current element Jacobian blocks
-        bc_mask_u: (n_u*dim,) bool mask of Dirichlet velocity rows (these
-            rows of the operator are identity)
-        pin_pressure: project the constant pressure mode inside S solves
-        m_u / m_p: inner GMRES sweep lengths for Auu / Schur solves
-        full: apply the full LDU factorization (vs lower-triangular)
-    """
-    n_u_flat = form.n_u_flat
+
+def _sub_ops(form, A_cells, A_blocks, bc_mask_u, bc_mask_p,
+             pin_pressure, inv_d_u):
+    """The four sub-block actions + the SELFP Schur action S."""
 
     def Auu(v):
         y = form.apply_sub_block(A_cells, A_blocks, v, "uu")
@@ -67,22 +61,6 @@ def make_schur_precond(
 
     def App(v_p):
         return form.apply_sub_block(A_cells, A_blocks, v_p, "pp")
-
-    # diagonals for inner Jacobi PCs
-    d_full = form.jacobian_diagonal(A_cells, A_blocks)
-    d_u = jnp.where(bc_mask_u, 1.0, d_full[:n_u_flat])
-    d_p = d_full[n_u_flat:]
-
-    def _safe(d):
-        scale = jnp.max(jnp.abs(d))
-        floor = 1e-12 * scale
-        return jnp.where(
-            jnp.abs(d) < floor, jnp.where(d < 0, -floor, floor), d
-        )
-
-    d_u = _safe(d_u)
-    d_p = _safe(d_p)
-    inv_d_u = 1.0 / d_u
 
     if hasattr(form, "apply_p_coupled"):
         def S(v_p):
@@ -106,37 +84,64 @@ def make_schur_precond(
                 y = y - jnp.mean(y)
             return y
 
-    # inner_method: "gmres" (both blocks), "chebyshev" (both),
-    # "chebyshev_p" (GMRES on the convective u-block, reduction-free
-    # Chebyshev on the near-SPD SELFP Schur block — see la/chebyshev.py),
-    # "amg_p" (AMG inner PC on the SELFP Schur stage), "amg_up"
-    # (additionally block-AMG on the A_uu stage), "ras_up" (RAS batched
-    # dense subdomain solves on A_uu, la/ras.py — the ASM+ILU analogue of
-    # /root/reference/src/solvers/stabilized_schur.py:261-264), or
-    # "rasamg_up" (block-AMG on A_uu with RAS fine-level smoothing —
-    # h-robust AND convection-robust). All *_up methods keep AMG on the
-    # SELFP Schur stage.
-    # "amg_sup": amg_up PLUS the S stage operates on a near-true Schur
-    # complement — the diag(Auu)^-1 inside the SELFP product is replaced
-    # by one u-block AMG V-cycle (a LINEAR operator, so the fixed-GMRES
-    # S sweeps remain valid; a nested GMRES would not be). diag(Auu) is
-    # an O(1)-bad stand-in for Auu^-1 once convection dominates (large
-    # dt / steady marches), and that gap — not the u-solve quality — is
-    # what drives the 550-700 ksp/step steady-march counts (round-3
-    # m_u/m_p split experiments, PERF.md). The SELFP-matrix AMG stays as
-    # the PC of the S sweeps.
+    return Auu, Aup, Apu, App, S
+
+
+# inner_method: "gmres" (both blocks), "chebyshev" (both),
+# "chebyshev_p" (GMRES on the convective u-block, reduction-free
+# Chebyshev on the near-SPD SELFP Schur block — see la/chebyshev.py),
+# "amg_p" (AMG inner PC on the SELFP Schur stage), "amg_up"
+# (additionally block-AMG on the A_uu stage), "ras_up" (RAS batched
+# dense subdomain solves on A_uu, la/ras.py — the ASM+ILU analogue of
+# /root/reference/src/solvers/stabilized_schur.py:261-264), or
+# "rasamg_up" (block-AMG on A_uu with RAS fine-level smoothing —
+# h-robust AND convection-robust). All *_up methods keep AMG on the
+# SELFP Schur stage.
+# "amg_sup": amg_up PLUS the S stage operates on a near-true Schur
+# complement — the diag(Auu)^-1 inside the SELFP product is replaced
+# by one u-block AMG V-cycle (a LINEAR operator, so the fixed-GMRES
+# S sweeps remain valid; a nested GMRES would not be). diag(Auu) is
+# an O(1)-bad stand-in for Auu^-1 once convection dominates (large
+# dt / steady marches), and that gap — not the u-solve quality — is
+# what drives the 550-700 ksp/step steady-march counts (round-3
+# m_u/m_p split experiments, PERF.md). The SELFP-matrix AMG stays as
+# the PC of the S sweeps.
+_UU_AMG_METHODS = ("amg_up", "amg_sup", "rasamg_up", "rasamg_sup")
+_AMG_P_METHODS = (
+    "amg_p", "amg_up", "ras_up", "rasamg_up", "amg_sup", "rasamg_sup",
+)
+
+
+def build_schur_state(
+    form,
+    A_cells,
+    A_blocks,
+    bc_mask_u,
+    pin_pressure: bool,
+    m_u: int = 8,
+    m_p: int = 10,
+    full: bool = True,
+    bc_mask_p=None,
+    inner_method: str = "gmres",
+    ras_opts: tuple[int, int] = (16, 4),
+):
+    """Numeric preconditioner state as a pytree (jittable).
+
+    Contains the operator values plus every expensive derived array:
+    sub-block diagonals, u-block AMG/RAS hierarchy values, the explicit
+    SELFP matrix's AMG level values, Chebyshev eigenvalue estimates.
+    Reusable across time steps (pc_lag_steps)."""
+    n_u_flat = form.n_u_flat
+    d_full = form.jacobian_diagonal(A_cells, A_blocks)
+    d_u = _safe(jnp.where(bc_mask_u, 1.0, d_full[:n_u_flat]))
+    d_p = _safe(d_full[n_u_flat:])
+    inv_d_u = 1.0 / d_u
+    state = {"A": A_cells, "Ab": A_blocks, "d_u": d_u, "d_p": d_p}
+
     cheb_u = inner_method == "chebyshev"
     cheb_p = inner_method in ("chebyshev", "chebyshev_p")
-    amg_on_p = inner_method in (
-        "amg_p", "amg_up", "ras_up", "rasamg_up", "amg_sup",
-        "rasamg_sup",
-    )
-    sup_schur = inner_method in ("amg_sup", "rasamg_sup")
 
-    uu_vcycle = None
-    if inner_method in (
-        "amg_up", "amg_sup", "rasamg_up", "rasamg_sup"
-    ) and hasattr(form, "uu_amg"):
+    if inner_method in _UU_AMG_METHODS and hasattr(form, "uu_amg"):
         ras = (
             form.uu_ras(*ras_opts)
             if inner_method.startswith("rasamg") and hasattr(
@@ -144,14 +149,100 @@ def make_schur_precond(
             ) else None
         )
         uu_amg = form.uu_amg(fine_smoother=ras)
-        uu_built = uu_amg.build(form.uu_vals(A_cells, bc_mask_u))
+        state["uu_built"] = uu_amg.build(
+            form.uu_vals(A_cells, bc_mask_u)
+        )
+    if inner_method == "ras_up" and hasattr(form, "uu_ras"):
+        state["ras_inv"] = form.uu_ras(*ras_opts).build(
+            form.uu_vals(A_cells, bc_mask_u)
+        )
+    if cheb_u:
+        from .chebyshev import estimate_lambda_max
+
+        Auu, *_ = _sub_ops(form, A_cells, A_blocks, bc_mask_u,
+                           bc_mask_p, pin_pressure, inv_d_u)
+        state["lam_u"] = estimate_lambda_max(
+            Auu, inv_d_u, n_u_flat, d_u.dtype
+        )
+
+    if inner_method in _AMG_P_METHODS and hasattr(form, "sp_amg"):
+        # aggregation-MG V-cycle on the EXPLICIT SELFP matrix
+        # Sp = App - Apu diag(Auu)^-1 Aup as the inner PC of the S
+        # sweeps (la/amg.py, la/nodebsr.py sp_vals) — the h-robust
+        # substitute for the reference's AMG/ASM pressure sub-PCs. AMG
+        # on App alone fails here: in stabilized P1-P1 the pressure
+        # Laplacian lives in the product term, App is only the small
+        # tau-scaled PSPG block (measured: 380 vs 22 outer iterations).
+        amg = form.sp_amg()
+        sp = form.sp_vals(
+            A_cells, jnp.where(bc_mask_u, 0.0, inv_d_u)
+        )
+        if bc_mask_p is not None:
+            # identity rows at pressure-Dirichlet dofs, matching the
+            # matrix-free S
+            sp_row = form.sp_structure()[0]
+            sp = jnp.where(bc_mask_p[sp_row], 0.0, sp)
+            sp = sp.at[form._sp_diag_pos].set(
+                jnp.where(bc_mask_p, 1.0, sp[form._sp_diag_pos])
+            )
+        state["sp_built"] = amg.build(sp)
+    elif cheb_p:
+        from .chebyshev import estimate_lambda_max
+
+        *_, S = _sub_ops(form, A_cells, A_blocks, bc_mask_u,
+                         bc_mask_p, pin_pressure, inv_d_u)
+        state["lam_p"] = estimate_lambda_max(
+            S, 1.0 / d_p, d_p.shape[0], d_p.dtype
+        )
+    return state
+
+
+def make_schur_precond_from_state(
+    form,
+    state,
+    bc_mask_u,
+    pin_pressure: bool,
+    m_u: int = 8,
+    m_p: int = 10,
+    full: bool = True,
+    bc_mask_p=None,
+    inner_method: str = "gmres",
+    ras_opts: tuple[int, int] = (16, 4),
+):
+    """Build v -> M v approximating J^{-1} v from a prebuilt numeric
+    state (build_schur_state). Closure construction only — no numeric
+    builds happen here, so the state can be stale-reused across steps."""
+    n_u_flat = form.n_u_flat
+    A_cells, A_blocks = state["A"], state["Ab"]
+    d_u, d_p = state["d_u"], state["d_p"]
+    inv_d_u = 1.0 / d_u
+    Auu, Aup, Apu, App, S = _sub_ops(
+        form, A_cells, A_blocks, bc_mask_u, bc_mask_p, pin_pressure,
+        inv_d_u,
+    )
+
+    cheb_u = inner_method == "chebyshev"
+    cheb_p = inner_method in ("chebyshev", "chebyshev_p")
+    amg_on_p = "sp_built" in state
+    sup_schur = inner_method in ("amg_sup", "rasamg_sup")
+
+    uu_vcycle = None
+    if "uu_built" in state:
+        ras = (
+            form.uu_ras(*ras_opts)
+            if inner_method.startswith("rasamg") and hasattr(
+                form, "uu_ras"
+            ) else None
+        )
+        uu_amg = form.uu_amg(fine_smoother=ras)
+        uu_built = state["uu_built"]
 
         def uu_vcycle(r):  # noqa: F811
             return uu_amg.v_cycle(uu_built, r)
 
-    if inner_method == "ras_up" and hasattr(form, "uu_ras"):
+    if "ras_inv" in state:
         ras_only = form.uu_ras(*ras_opts)
-        ras_inv = ras_only.build(form.uu_vals(A_cells, bc_mask_u))
+        ras_inv = state["ras_inv"]
 
         def Mu_ras(r):
             return ras_only.apply(ras_inv, r)
@@ -164,9 +255,9 @@ def make_schur_precond(
             return gmres_fixed(Auu, r, precond=uu_vcycle, m=m_u,
                                reorth=False)
     elif cheb_u:
-        from .chebyshev import chebyshev_fixed, estimate_lambda_max
+        from .chebyshev import chebyshev_fixed
 
-        lam_u = estimate_lambda_max(Auu, inv_d_u, n_u_flat, d_u.dtype)
+        lam_u = state["lam_u"]
 
         def solve_Auu(r):
             return chebyshev_fixed(Auu, r, inv_d_u, lam_u, m=m_u)
@@ -194,9 +285,12 @@ def make_schur_precond(
 
     if sup_schur and uu_vcycle is not None:
         def S(v_p):  # noqa: F811
-            """Near-true Schur action: App v - Apu Vcycle_uu(Aup v)."""
+            """Near-true Schur action: App v - Apu Vcycle_uu(Aup v).
+            kcycle=False: this V-cycle is part of a LINEAR operator
+            swept by fixed GMRES — the K-cycle's rhs-dependent
+            coefficients would silently break the Krylov recurrence."""
             w = Aup(v_p)
-            z = uu_vcycle(w)
+            z = uu_amg.v_cycle(uu_built, w, kcycle=False)
             z = jnp.where(bc_mask_u, 0.0, z)
             y = App(v_p) - Apu(z)
             if bc_mask_p is not None:
@@ -205,27 +299,9 @@ def make_schur_precond(
                 y = y - jnp.mean(y)
             return y
 
-    if amg_on_p and hasattr(form, "sp_amg"):
-        # aggregation-MG V-cycle on the EXPLICIT SELFP matrix
-        # Sp = App - Apu diag(Auu)^-1 Aup as the inner PC of the S
-        # sweeps (la/amg.py, la/nodebsr.py sp_vals) — the h-robust
-        # substitute for the reference's AMG/ASM pressure sub-PCs. AMG
-        # on App alone fails here: in stabilized P1-P1 the pressure
-        # Laplacian lives in the product term, App is only the small
-        # tau-scaled PSPG block (measured: 380 vs 22 outer iterations).
+    if amg_on_p:
         amg = form.sp_amg()
-        sp = form.sp_vals(
-            A_cells, jnp.where(bc_mask_u, 0.0, 1.0 / d_u)
-        )
-        if bc_mask_p is not None:
-            # identity rows at pressure-Dirichlet dofs, matching the
-            # matrix-free S
-            sp_row = form.sp_structure()[0]
-            sp = jnp.where(bc_mask_p[sp_row], 0.0, sp)
-            sp = sp.at[form._sp_diag_pos].set(
-                jnp.where(bc_mask_p, 1.0, sp[form._sp_diag_pos])
-            )
-        level_vals = amg.build(sp)
+        level_vals = state["sp_built"]
 
         def Mp_vcycle(v):
             return amg.v_cycle(level_vals, v)
@@ -249,10 +325,10 @@ def make_schur_precond(
                     z = z - jnp.mean(z)
                 return z
     elif cheb_p:
-        from .chebyshev import chebyshev_fixed, estimate_lambda_max
+        from .chebyshev import chebyshev_fixed
 
         inv_d_p = 1.0 / d_p
-        lam_p = estimate_lambda_max(S, inv_d_p, d_p.shape[0], d_p.dtype)
+        lam_p = state["lam_p"]
 
         def solve_S(r):
             if pin_pressure:
@@ -281,3 +357,39 @@ def make_schur_precond(
         return jnp.concatenate([z_u, z_p])
 
     return precond
+
+
+def make_schur_precond(
+    form,
+    A_cells,
+    A_blocks,
+    bc_mask_u,
+    pin_pressure: bool,
+    m_u: int = 8,
+    m_p: int = 10,
+    full: bool = True,
+    bc_mask_p=None,
+    inner_method: str = "gmres",
+    ras_opts: tuple[int, int] = (16, 4),
+):
+    """Build v -> M v approximating J^{-1} v.
+
+    Args:
+        form: StabilizedNSForm (provides apply_sub_block / layout)
+        A_cells, A_blocks: current element Jacobian blocks
+        bc_mask_u: (n_u*dim,) bool mask of Dirichlet velocity rows (these
+            rows of the operator are identity)
+        pin_pressure: project the constant pressure mode inside S solves
+        m_u / m_p: inner GMRES sweep lengths for Auu / Schur solves
+        full: apply the full LDU factorization (vs lower-triangular)
+    """
+    state = build_schur_state(
+        form, A_cells, A_blocks, bc_mask_u, pin_pressure,
+        m_u=m_u, m_p=m_p, full=full, bc_mask_p=bc_mask_p,
+        inner_method=inner_method, ras_opts=ras_opts,
+    )
+    return make_schur_precond_from_state(
+        form, state, bc_mask_u, pin_pressure,
+        m_u=m_u, m_p=m_p, full=full, bc_mask_p=bc_mask_p,
+        inner_method=inner_method, ras_opts=ras_opts,
+    )

@@ -19,6 +19,7 @@ from importlib import import_module
 from typing import Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..mesh import Mesh
@@ -298,9 +299,13 @@ class Scenario(ABC):
                 afterStepCallback(t)
 
             if (i + 1) % 10 == 0:
-                u_sol_norm = float(jnp.abs(solver.u_sol).max())
-                u_diff_norm = float(
-                    jnp.abs(solver.u_sol - solver.u_prev).max()
+                # one fused fetch: separate float() calls are two full
+                # relay roundtrips on the axon backend
+                u_sol_norm, u_diff_norm = (
+                    float(x) for x in jax.device_get(jnp.stack([
+                        jnp.abs(solver.u_sol).max(),
+                        jnp.abs(solver.u_sol - solver.u_prev).max(),
+                    ]))
                 )
                 rel_diff = (u_diff_norm / max(u_sol_norm, 1e-12)) / self.dt
                 if rel_diff < self.early_stop_tolerance:

@@ -257,6 +257,7 @@ class Solver(IPCSSolver):
             self.u_prev, self.p_prev, self.u_n1, bc_u_vals, bc_p_vals,
             self.base_params(),
         )
+        stats = jax.device_get(stats)  # one batched host transfer
         self.last_stats = {
             k: (v.item() if hasattr(v, "item") else v)
             for k, v in stats.items()

@@ -461,6 +461,7 @@ class Solver(SolverBase):
             self.u_prev, self.p_prev, bc_u_vals, bc_p_vals,
             self.base_params(),
         )
+        stats = jax.device_get(stats)  # one batched host transfer
         self.last_stats = {
             k: (v.item() if hasattr(v, "item") else v)
             for k, v in stats.items()

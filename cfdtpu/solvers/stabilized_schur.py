@@ -75,8 +75,11 @@ class Solver(SolverBase):
         pc_dtype: str = "same",
         pc_amg_pairwise: bool = False,
         pc_amg_smooth: int = 1,
+        pc_amg_kcycle: bool = False,
         pc_ras_size: int = 16,
         pc_ras_overlap: int = 4,
+        pc_lag_steps: int = 1,
+        stats_every: int = 1,
         jit_const_args: bool | None = None,
         **kwargs,
     ):
@@ -94,8 +97,31 @@ class Solver(SolverBase):
         self.jit_const_args = bool(jit_const_args) or env == "1"
         self.pc_ras_size = int(pc_ras_size)
         self.pc_ras_overlap = int(pc_ras_overlap)
+        # pc_lag_steps > 1: rebuild the operator + PC numeric state every
+        # K time steps and REUSE it in between (the cross-step analogue
+        # of PETSc -snes_lag_preconditioner_persists). The residual stays
+        # exact — Newton still converges to snes_rtol on fresh physics —
+        # only the Jacobian action / PC go K-1 steps stale, which the
+        # line search + flexible GMRES absorb in a transient. Skips the
+        # per-step element-Jacobian sweep, supernode assembly, SELFP
+        # product and AMG/RAS builds on the reuse steps (~20% of the
+        # 106k-DOF step, PERF.md round-3 profile).
+        self.pc_lag_steps = int(pc_lag_steps)
+        self._op_state = None
+        # stats_every > 1: fetch the step's stat scalars (and check
+        # convergence) only every N-th step. Between checks the host
+        # never blocks on the device, so consecutive jitted steps
+        # PIPELINE on the async dispatch queue — on the axon relay each
+        # stats fetch costs a full roundtrip plus the lost overlap.
+        # Divergence still raises, at most N-1 steps late.
+        self.stats_every = max(1, int(stats_every))
         self.pc_amg_pairwise = bool(pc_amg_pairwise)
         self.pc_amg_smooth = int(pc_amg_smooth)
+        # K-cycle (Notay): GCR(2)-accelerated coarse corrections in both
+        # AMG hierarchies — restores h-independence of plain aggregation
+        # at ~1.4x cycle cost. Applied only at flexible call sites
+        # (la/schur.py forces plain-V inside the *_sup linear S op).
+        self.pc_amg_kcycle = bool(pc_amg_kcycle)
         # "bf16": half the PC matrix traffic at +35% outer iterations
         # (measured on DFG 10k DOF; also 1.59 -> 1.19 steps/s on TPU at
         # that latency-bound size). Worth revisiting only for large,
@@ -320,16 +346,18 @@ class Solver(SolverBase):
                 # so any np.asarray on them raises)
                 nodebsr.sp_structure()
                 nodebsr.sp_amg(pairwise=self.pc_amg_pairwise,
-                               n_smooth=self.pc_amg_smooth)
+                               n_smooth=self.pc_amg_smooth,
+                               kcycle=self.pc_amg_kcycle)
                 if self.pc_inner_method in ("amg_up", "amg_sup"):
-                    nodebsr.uu_amg()
+                    nodebsr.uu_amg(kcycle=self.pc_amg_kcycle)
                 elif self.pc_inner_method == "ras_up":
                     nodebsr.uu_ras(self.pc_ras_size, self.pc_ras_overlap)
                 elif self.pc_inner_method in ("rasamg_up", "rasamg_sup"):
                     ras = nodebsr.uu_ras(
                         self.pc_ras_size, self.pc_ras_overlap
                     )
-                    nodebsr.uu_amg(fine_smoother=ras)
+                    nodebsr.uu_amg(fine_smoother=ras,
+                                   kcycle=self.pc_amg_kcycle)
             if nodebsr is not None and pc_type == "pcd":
                 # eager static maps for the PCD Ap assembly + AMG
                 nodebsr.p_scatter_structure()
@@ -483,6 +511,125 @@ class Solver(SolverBase):
             r_u, r_p = unravel(stats.pop("final_residual"))
             return u, p, r_u, r_p, stats
 
+        # -- cross-step operator/PC reuse (pc_lag_steps > 1) -----------
+        # Split the step into build_op_state (element Jacobians +
+        # supernode assembly + PC numeric state, every K-th step) and
+        # step_reuse (Newton over a fresh residual with the carried
+        # operator state). Schur/node-BSR path only.
+        self._reuse_step = None
+        self._op_state = None
+        reuse_able = (
+            nodebsr is not None
+            and pc_type == "schur"
+            and not getattr(self, "_use_halo", False)
+            and self.pc_lag_steps > 1
+        )
+        if reuse_able:
+            import dataclasses
+
+            from ..la.schur import (
+                build_schur_state, make_schur_precond_from_state,
+            )
+
+            pc_kw = dict(
+                m_u=pc_inner_u, m_p=pc_inner_p,
+                full=self.pc_schur_fact == "full",
+                bc_mask_p=bc_mask_p,
+                inner_method=self.pc_inner_method,
+                ras_opts=(self.pc_ras_size, self.pc_ras_overlap),
+            )
+            reuse_params = dataclasses.replace(
+                newton_params, jac_lag=True
+            )
+
+            def build_op_state(u, p, aux, prm):
+                A_cells, A_blocks = form.element_jacobians(
+                    u, p, aux, prm
+                )
+                vals = nodebsr.assemble(A_cells, A_blocks)
+                A_pc = nodebsr.pc_cast(vals) if pc_bf16 else vals
+                pc_state = build_schur_state(
+                    nodebsr, A_pc, (), bc_mask_u,
+                    pin_pressure and not has_bc_p, **pc_kw,
+                )
+                return {"vals": vals, "pc": pc_state}
+
+            def step_reuse(u_guess, p_guess, aux, bc_u_vals,
+                           bc_p_vals, prm, op_state):
+                def F(x):
+                    u, p = unravel(x)
+                    ru, rp = form.residual(u, p, aux, prm)
+                    if has_bc_u:
+                        ru = ru.at[bc_dofs_u].set(
+                            u[bc_dofs_u] - bc_u_vals
+                        )
+                    if has_bc_p:
+                        rp = rp.at[bc_dofs_p].set(
+                            p[bc_dofs_p] - bc_p_vals
+                        )
+                    if pin_pressure:
+                        rp = rp - jnp.mean(rp)
+                    return ravel(ru, rp)
+
+                vals = op_state["vals"]
+
+                def matvec(v):
+                    y = nodebsr.apply_element_matrices(vals, (), v)
+                    y = jnp.where(bc_mask, v, y)
+                    if pin_pressure:
+                        du, dp = unravel(y)
+                        y = ravel(du, dp - jnp.mean(dp))
+                    return y
+
+                precond = make_schur_precond_from_state(
+                    nodebsr, op_state["pc"], bc_mask_u,
+                    pin_pressure and not has_bc_p, **pc_kw,
+                )
+
+                def make_operator(x):
+                    return matvec, precond
+
+                def project(dx):
+                    du, dp = unravel(dx)
+                    return ravel(du, dp - jnp.mean(dp))
+
+                x0 = ravel(u_guess, p_guess)
+                if pin_pressure:
+                    x0 = project(x0)
+                x, stats = newton_solve(
+                    F, x0, reuse_params,
+                    make_operator=make_operator,
+                    project=project if pin_pressure else None,
+                )
+                u, p = unravel(x)
+                r_u, r_p = unravel(stats.pop("final_residual"))
+                return u, p, r_u, r_p, stats
+
+            if self.jit_const_args:
+                from ..utils.constargs import make_const_wrapped
+
+                wrapped_b, consts_b = make_const_wrapped(
+                    build_op_state, [form, nodebsr]
+                )
+                wrapped_r, consts_r = make_const_wrapped(
+                    step_reuse, [form, nodebsr]
+                )
+                self._reuse_consts = consts_b
+                jit_b = jax.jit(wrapped_b)
+                jit_r = jax.jit(wrapped_r)
+
+                def build_with_consts(*args):
+                    return jit_b(*args, self._reuse_consts)
+
+                def reuse_with_consts(*args):
+                    return jit_r(*args, self._reuse_consts)
+
+                self._build_op_state = build_with_consts
+                self._reuse_step = reuse_with_consts
+            else:
+                self._build_op_state = jax.jit(build_op_state)
+                self._reuse_step = jax.jit(step_reuse)
+
         self._step_fn = step  # unjitted, for driver compile checks
         if getattr(self, "_use_halo", False):
             from ..dist.halo import build_halo_step
@@ -544,32 +691,61 @@ class Solver(SolverBase):
             u_guess, p_guess = self.u_prev, self.p_prev
         self._u_extrap_old = self.u_prev
         self._p_extrap_old = self.p_prev
+        prm = self.params()
+        # getattr: variant solvers that override _build_step (e.g. the
+        # staggered scheme) never define the reuse machinery
+        if getattr(self, "_reuse_step", None) is not None:
+            # rebuild the carried operator/PC state every pc_lag_steps
+            # steps — and whenever dt changed (adaptive solvers: the
+            # mass/dt Jacobian scaling would otherwise be wrong)
+            dt_now = prm.get("dt")
+            if (
+                self._op_state is None
+                or self.step_count % self.pc_lag_steps == 0
+                or getattr(self, "_op_state_dt", None) != dt_now
+            ):
+                self._op_state = self._build_op_state(
+                    u_guess, p_guess, self._aux(), prm
+                )
+                self._op_state_dt = dt_now
+            return self._reuse_step(
+                u_guess, p_guess, self._aux(), bc_u_vals, bc_p_vals,
+                prm, self._op_state,
+            )
         return self._step(
-            u_guess, p_guess, self._aux(), bc_u_vals, bc_p_vals,
-            self.params(),
+            u_guess, p_guess, self._aux(), bc_u_vals, bc_p_vals, prm,
         )
 
     def solveStep(self) -> None:
         bc_u_vals, bc_p_vals = self._bc_values()
         u, p, r_u, r_p, stats = self._run_step(bc_u_vals, bc_p_vals)
-        converged = bool(stats["converged"])
-        self.last_stats = {
-            k: (v.item() if hasattr(v, "item") else v)
-            for k, v in stats.items()
-        }
-        if not converged:
-            raise RuntimeError(
-                f"Did not converge, reason: newton_iters="
-                f"{self.last_stats['newton_iters']}, "
-                f"fnorm={self.last_stats['fnorm']:.3e} "
-                f"(f0norm={self.last_stats['f0norm']:.3e})."
+        if (self.step_count + 1) % self.stats_every == 0:
+            # one batched device->host transfer for all stat scalars: on
+            # the axon relay each individual .item() costs a full ~52 ms
+            # roundtrip (PERF.md readback note); between fetches the
+            # host never blocks, so steps pipeline on the dispatch queue
+            stats = jax.device_get(stats)
+            converged = bool(stats["converged"])
+            self.last_stats = {
+                k: (v.item() if hasattr(v, "item") else v)
+                for k, v in stats.items()
+            }
+            if not converged:
+                raise RuntimeError(
+                    f"Did not converge, reason: newton_iters="
+                    f"{self.last_stats['newton_iters']}, "
+                    f"fnorm={self.last_stats['fnorm']:.3e} "
+                    f"(f0norm={self.last_stats['f0norm']:.3e})."
+                )
+            print(
+                f"Solver converged in"
+                f" {self.last_stats['newton_iters']} nonlinear"
+                f" iterations (with total number of"
+                f" {self.last_stats['ksp_iters']} linear iterations)"
             )
+        else:
+            self.last_stats = {}
         self.u_sol, self.p_sol = u, p
         self.u_residual, self.p_residual = r_u, r_p
-        print(
-            f"Solver converged in {self.last_stats['newton_iters']} nonlinear"
-            f" iterations (with total number of"
-            f" {self.last_stats['ksp_iters']} linear iterations)"
-        )
         self._post_step()
         self.step_count += 1

@@ -9,6 +9,8 @@ reduced) dt is kept for subsequent steps, mirroring the reference behavior.
 
 from __future__ import annotations
 
+import jax
+
 from .stabilized_schur import Solver as BaseSolver
 
 
@@ -20,6 +22,7 @@ class Solver(BaseSolver):
         last_err = None
         for attempt in range(self.MAX_RETRIES + 1):
             u, p, r_u, r_p, stats = self._run_step(bc_u_vals, bc_p_vals)
+            stats = jax.device_get(stats)  # one batched host transfer
             if bool(stats["converged"]):
                 self.last_stats = {
                     k: (v.item() if hasattr(v, "item") else v)

@@ -208,6 +208,9 @@ def test_aux_pressure_recovery():
     # preonly stages (m == 0 -> one V-cycle, no Krylov wrap)
     {"pc_inner_method": "rasamg_sup", "pc_inner_u": 0, "pc_inner_p": 4},
     {"pc_inner_method": "rasamg_sup", "pc_inner_u": 1, "pc_inner_p": 0},
+    # K-cycle (GCR(2)-accelerated coarse corrections, la/amg.py _gcr2)
+    {"pc_inner_method": "rasamg_sup", "pc_inner_u": 0,
+     "pc_amg_kcycle": True},
 ])
 def test_pc_options_converge(tmp_path, kw):
     sc = LidDriven2DSimulation(
@@ -219,3 +222,28 @@ def test_pc_options_converge(tmp_path, kw):
     # stay within a small factor of the amg_p default (~4/step here)
     cap = 150 if kw.get("pc_type") == "jacobi" else 25
     assert sc.solver.last_stats["ksp_iters"] <= cap
+
+
+def test_pc_lag_steps_matches_default(tmp_path):
+    """Cross-step operator/PC reuse (pc_lag_steps): the carried-state
+    path must converge each step on the fresh residual and land on the
+    same trajectory as the per-step-rebuild default — Newton tolerance
+    governs the solution, the lag only shifts iteration counts."""
+    def march(**kw):
+        sc = LidDriven2DSimulation(
+            "stabilized_schur", dt=0.01, T=0.05, mu=0.01, nx=10,
+            pc_inner_method="rasamg_sup", pc_inner_u=0, pc_inner_p=3,
+            **kw,
+        )
+        sc.solve(str(tmp_path / str(len(kw))))
+        assert sc.solver.last_stats["converged"]
+        return np.asarray(sc.solver.u_sol), np.asarray(sc.solver.p_sol)
+
+    u_ref, p_ref = march()
+    u_lag, p_lag = march(pc_lag_steps=3, snes_lag_jacobian=True)
+    rel_u = np.linalg.norm(u_lag - u_ref) / np.linalg.norm(u_ref)
+    assert rel_u < 5e-4
+    rel_p = np.linalg.norm(p_lag - p_ref) / max(
+        np.linalg.norm(p_ref), 1e-30
+    )
+    assert rel_p < 5e-3
