@@ -45,6 +45,11 @@ run_bench k8        BENCH_PC_LAG_STEPS=8 BENCH_STEPS=8
 run_bench k4_bf16   BENCH_PC_LAG_STEPS=4 BENCH_PC_DTYPE=bf16
 run_bench k8_bf16   BENCH_PC_LAG_STEPS=8 BENCH_STEPS=8 BENCH_PC_DTYPE=bf16
 run_bench k4_kc     BENCH_PC_LAG_STEPS=4 BENCH_AMG_KCYCLE=1
+# S-stage sweep count is the outer-iteration lever (CPU 40k probe:
+# p=5 cuts ksp/step 42 -> 27 and nets faster); find the TPU optimum
+run_bench k4_p4     BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=4
+run_bench k4_p5     BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=5
+run_bench k4_p6     BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=6
 
 # -- stage 2: size ladder ---------------------------------------------
 run_bench k4_330k   BENCH_PC_LAG_STEPS=4 BENCH_RES_SCALE=0.17
@@ -55,3 +60,34 @@ run_bench kc_330k   BENCH_PC_LAG_STEPS=4 BENCH_AMG_KCYCLE=1 BENCH_RES_SCALE=0.17
 run_bench kc_500k   BENCH_PC_LAG_STEPS=4 BENCH_AMG_KCYCLE=1 BENCH_RES_SCALE=0.14
 
 say "campaign stages 1-2 complete; see $LOG"
+
+# -- stage 3 (R3_LONG=1): DFG 2D-1 accuracy ---------------------------
+# VERDICT round-3 item 5: dp needs P2 pressure (P1 entry projected at
+# ~1M DOF); c_L needs a finer obstacle ring (res_min; geom default is
+# r/6 = 0.0083). Steady march dt=0.2 T=18 as in the round-2 campaign,
+# with the tuned rasamg_sup config for speed.
+TUNED='"pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":3,"snes_lag_jacobian":true,"pc_ras_size":32,"pc_lag_steps":4'
+if [ "${R3_LONG:-0}" = "1" ]; then
+  run_acc() {  # name res_scale extra_json
+    name=$1; res=$2; extra=$3
+    if grep -q "ACC_DONE $name" "$LOG" 2>/dev/null; then
+      say "skip acc $name (already logged)"; return 0
+    fi
+    probe || { say "TPU unhealthy, skipping acc $name"; return 1; }
+    say "start acc $name: res=$res extra=$extra"
+    out=$(PYTHONPATH=/root/repo timeout 14400 python \
+      scripts/validate_dfg2d1.py "$res" 0.2 2e-6 18 "$extra" \
+      2>/tmp/r3_acc_err.log)
+    code=$?
+    { echo "ACC $name exit=$code"; echo "$out"; } >> "$LOG"
+    [ $code -eq 0 ] && echo "ACC_DONE $name" >> "$LOG"
+    say "done acc $name (exit $code)"
+  }
+  # P2 pressure at ~140k DOF: dp converges ~O(h^2) in P2
+  run_acc p2_dp    0.5  "{\"p_grade\":2,$TUNED}"
+  # fine obstacle ring (half the default r/6) for c_L at ~110k DOF
+  run_acc ring_cl  0.25 "{\"res_min\":0.004,$TUNED}"
+  # combined, if both individually land
+  run_acc p2_ring  0.5  "{\"p_grade\":2,\"res_min\":0.004,$TUNED}"
+  say "stage 3 complete"
+fi
