@@ -165,7 +165,8 @@ class AMG:
                  omega: float = 0.67, n_smooth: int = 1,
                  agg_row: np.ndarray | None = None,
                  agg_col: np.ndarray | None = None,
-                 pairwise: bool = False, kcycle: bool = False):
+                 pairwise: bool = False, kcycle: bool = False,
+                 cheby_degree: int = 0):
         """row/col: COO graph of the operator. agg_row/agg_col: optional
         SPARSER graph to aggregate on — for the SELFP matrix (distance-2
         sparsity, ~19 neighbours) aggregating on the distance-1 node
@@ -178,6 +179,14 @@ class AMG:
         # K-cycle). Mutable — factories flip it on cached hierarchies;
         # v_cycle(kcycle=False) forces a plain (LINEAR) cycle per call.
         self.kcycle = bool(kcycle)
+        # cheby_degree > 0: replace the l1-Jacobi pre/post smoothers
+        # with degree-k Chebyshev polynomial smoothing on the interval
+        # [0.25, 1.05] * lambda_max(D_l1^-1 A) — the standard
+        # accelerator-era AMG smoother (hypre's GPU default): LINEAR,
+        # reduction-free, and much stronger per cycle than one Jacobi
+        # sweep. Per-level lambda_max is power-iterated at build() time
+        # (amortized by pc_lag_steps). Mutable like kcycle.
+        self.cheby_degree = int(cheby_degree)
         self.levels: list[AMGLevel] = []
         self.coo = []  # (row, col, n) per level, jnp row/col
         self.sup = []  # (SuperMaps, positions) per level — matvec layout
@@ -236,7 +245,16 @@ class AMG:
         out = []
         for k, lvl in enumerate(self.levels):
             ev = self._place(k, vals)
-            out.append((ev, self._l1_diag_sup(k, ev)))
+            d = self._l1_diag_sup(k, ev)
+            lam = None
+            if self.cheby_degree > 0:
+                from .chebyshev import estimate_lambda_max
+
+                lam = estimate_lambda_max(
+                    lambda v, _k=k, _ev=ev: self._matvec(_k, _ev, v),
+                    1.0 / d, self.coo[k][2], ev.dtype,
+                )
+            out.append((ev, d, lam))
             vals = lvl.coarsen_vals(vals)
         row, col, m = self.coo[len(self.levels)]
         A = jnp.zeros((m, m), vals.dtype).at[row, col].set(vals)
@@ -284,6 +302,15 @@ class AMG:
                 x = x + self.omega * r / d
             return x
 
+        def cheb(k, vals, d, lam, b):
+            """Degree-k Chebyshev smoothing step from x0 = 0 (LINEAR)."""
+            from .chebyshev import chebyshev_fixed
+
+            return chebyshev_fixed(
+                lambda v: self._matvec(k, vals, v), b, 1.0 / d, lam,
+                m=self.cheby_degree, lam_min_frac=0.25,
+            )
+
         def csolve(k, rc):
             """Coarse-level solve at level k (the correction step)."""
             if k == nl or not kc:
@@ -296,10 +323,13 @@ class AMG:
         def descend(k, b):
             if k == nl:
                 return coarse_inv @ b
-            vals, d = level_vals[k]
-            # first pre-smooth from x0 = 0 needs no matvec: x = w b/d
-            x = self.omega * b / d
-            x = smooth(k, vals, d, x, b, self.n_smooth - 1)
+            vals, d, lam = level_vals[k]
+            if lam is not None:
+                x = cheb(k, vals, d, lam, b)
+            else:
+                # first pre-smooth from x0 = 0 needs no matvec: x = w b/d
+                x = self.omega * b / d
+                x = smooth(k, vals, d, x, b, self.n_smooth - 1)
             r = b - self._matvec(k, vals, x)
             rc = jox.segment_sum(
                 r, self.levels[k].agg,
@@ -307,6 +337,9 @@ class AMG:
             )
             xc = csolve(k + 1, rc)
             x = x + xc[self.levels[k].agg]
+            if lam is not None:
+                return x + cheb(k, vals, d, lam,
+                                b - self._matvec(k, vals, x))
             return smooth(k, vals, d, x, b, self.n_smooth)
 
         return descend(0, b)
@@ -384,7 +417,20 @@ class BlockAMG(AMG):
         out = []
         for k, lvl in enumerate(self.levels):
             ev = self._place_block(k, vals)
-            out.append((ev, self._l1_diag_block(k, ev)))
+            dg = self._l1_diag_block(k, ev)
+            lam = None
+            if self.cheby_degree > 0 and not (
+                k == 0 and ras_inv is not None
+            ):
+                from .chebyshev import estimate_lambda_max
+
+                lam = estimate_lambda_max(
+                    lambda v, _k=k, _ev=ev: self._matvec_block(
+                        _k, _ev, v
+                    ),
+                    1.0 / dg, self.coo[k][2] * d, ev.dtype,
+                )
+            out.append((ev, dg, lam))
             # block Galerkin: same entry maps, blocks summed wholesale
             v = vals[lvl.entry_order]
             vals = jox.segment_sum(
@@ -438,6 +484,14 @@ class BlockAMG(AMG):
                 x = x + self.omega * r / dg
             return x
 
+        def cheb(k, vals, dg, lam, b):
+            from .chebyshev import chebyshev_fixed
+
+            return chebyshev_fixed(
+                lambda v: self._matvec_block(k, vals, v), b, 1.0 / dg,
+                lam, m=self.cheby_degree, lam_min_frac=0.25,
+            )
+
         def csolve(k, rc):
             if k == nl or not kc:
                 return descend(k, rc)
@@ -449,12 +503,15 @@ class BlockAMG(AMG):
         def descend(k, b):
             if k == nl:
                 return coarse_inv @ b
-            vals, dg = level_vals[k]
+            vals, dg, lam = level_vals[k]
             if k == 0 and ras_inv is not None:
                 x = ras.apply(ras_inv, b)  # pre-smooth from x0 = 0
+                x = smooth(k, vals, dg, x, b, self.n_smooth - 1)
+            elif lam is not None:
+                x = cheb(k, vals, dg, lam, b)
             else:
                 x = self.omega * b / dg  # first pre-smooth from x0 = 0
-            x = smooth(k, vals, dg, x, b, self.n_smooth - 1)
+                x = smooth(k, vals, dg, x, b, self.n_smooth - 1)
             r = b - self._matvec_block(k, vals, x)
             agg = self.levels[k].agg
             rc = jox.segment_sum(
@@ -463,6 +520,9 @@ class BlockAMG(AMG):
             ).reshape(-1)
             xc = csolve(k + 1, rc)
             x = x + xc.reshape(-1, d)[agg].reshape(-1)
+            if lam is not None and not (k == 0 and ras_inv is not None):
+                return x + cheb(k, vals, dg, lam,
+                                b - self._matvec_block(k, vals, x))
             return smooth(k, vals, dg, x, b, self.n_smooth)
 
         return descend(0, b)

@@ -430,11 +430,12 @@ class NodeBSR:
         assembly don't apply to these pure-Q operators."""
         return self.p_scatter_structure()(P_e.reshape(-1))
 
-    def sp_amg(self, pairwise=False, n_smooth=1, kcycle=None):
+    def sp_amg(self, pairwise=False, n_smooth=1, kcycle=None,
+               cheby=None):
         """Aggregation-MG hierarchy on the explicit SELFP graph
         (aggregates formed on the distance-1 node graph, see la/amg.py).
-        kcycle: None leaves the cached hierarchy's setting untouched;
-        a bool sets it (structure is kcycle-independent)."""
+        kcycle / cheby: None leaves the cached hierarchy's setting
+        untouched; a value sets it (structure is independent of both)."""
         if getattr(self, "_sp_amg_h", None) is None:
             from .amg import AMG
 
@@ -447,6 +448,8 @@ class NodeBSR:
             )
         if kcycle is not None:
             self._sp_amg_h.kcycle = bool(kcycle)
+        if cheby is not None:
+            self._sp_amg_h.cheby_degree = int(cheby)
         return self._sp_amg_h
 
     # -- velocity-block AMG hooks (see la/amg.py BlockAMG) ---------------
@@ -466,7 +469,7 @@ class NodeBSR:
         add = mask[:, :, None] * jnp.eye(d, dtype=v.dtype)[None]
         return v.at[self._diag_pos].set(dv + add)
 
-    def uu_amg(self, fine_smoother=None, kcycle=None):
+    def uu_amg(self, fine_smoother=None, kcycle=None, cheby=None):
         """Block-aggregation-MG hierarchy on the velocity node graph
         (static structure, built once and cached) — the h-robust inner
         PC for the convection-dominated A_uu sweeps. fine_smoother: an
@@ -485,6 +488,8 @@ class NodeBSR:
             )
         if kcycle is not None:
             self._uu_amg_h.kcycle = bool(kcycle)
+        if cheby is not None:
+            self._uu_amg_h.cheby_degree = int(cheby)
         return self._uu_amg_h
 
     def uu_ras(self, s: int = 16, overlap: int = 4):

@@ -76,6 +76,7 @@ class Solver(SolverBase):
         pc_amg_pairwise: bool = False,
         pc_amg_smooth: int = 1,
         pc_amg_kcycle: bool = False,
+        pc_amg_cheby: int = 0,
         pc_ras_size: int = 16,
         pc_ras_overlap: int = 4,
         pc_lag_steps: int = 1,
@@ -122,6 +123,11 @@ class Solver(SolverBase):
         # at ~1.4x cycle cost. Applied only at flexible call sites
         # (la/schur.py forces plain-V inside the *_sup linear S op).
         self.pc_amg_kcycle = bool(pc_amg_kcycle)
+        # Degree-k Chebyshev polynomial smoothing inside the AMG cycles
+        # (0 = l1-Jacobi). LINEAR (safe inside the *_sup S operator);
+        # per-level lambda_max power-iterated at PC build, amortized by
+        # pc_lag_steps.
+        self.pc_amg_cheby = int(pc_amg_cheby)
         # "bf16": half the PC matrix traffic at +35% outer iterations
         # (measured on DFG 10k DOF; also 1.59 -> 1.19 steps/s on TPU at
         # that latency-bound size). Worth revisiting only for large,
@@ -347,9 +353,11 @@ class Solver(SolverBase):
                 nodebsr.sp_structure()
                 nodebsr.sp_amg(pairwise=self.pc_amg_pairwise,
                                n_smooth=self.pc_amg_smooth,
-                               kcycle=self.pc_amg_kcycle)
+                               kcycle=self.pc_amg_kcycle,
+                               cheby=self.pc_amg_cheby)
                 if self.pc_inner_method in ("amg_up", "amg_sup"):
-                    nodebsr.uu_amg(kcycle=self.pc_amg_kcycle)
+                    nodebsr.uu_amg(kcycle=self.pc_amg_kcycle,
+                                   cheby=self.pc_amg_cheby)
                 elif self.pc_inner_method == "ras_up":
                     nodebsr.uu_ras(self.pc_ras_size, self.pc_ras_overlap)
                 elif self.pc_inner_method in ("rasamg_up", "rasamg_sup"):
@@ -357,7 +365,8 @@ class Solver(SolverBase):
                         self.pc_ras_size, self.pc_ras_overlap
                     )
                     nodebsr.uu_amg(fine_smoother=ras,
-                                   kcycle=self.pc_amg_kcycle)
+                                   kcycle=self.pc_amg_kcycle,
+                                   cheby=self.pc_amg_cheby)
             if nodebsr is not None and pc_type == "pcd":
                 # eager static maps for the PCD Ap assembly + AMG
                 nodebsr.p_scatter_structure()
@@ -699,6 +708,7 @@ class Solver(SolverBase):
             # steps — and whenever dt changed (adaptive solvers: the
             # mass/dt Jacobian scaling would otherwise be wrong)
             dt_now = prm.get("dt")
+            self._op_state_fresh = False
             if (
                 self._op_state is None
                 or self.step_count % self.pc_lag_steps == 0
@@ -708,6 +718,7 @@ class Solver(SolverBase):
                     u_guess, p_guess, self._aux(), prm
                 )
                 self._op_state_dt = dt_now
+                self._op_state_fresh = True
             return self._reuse_step(
                 u_guess, p_guess, self._aux(), bc_u_vals, bc_p_vals,
                 prm, self._op_state,
@@ -726,6 +737,19 @@ class Solver(SolverBase):
             # host never blocks, so steps pipeline on the dispatch queue
             stats = jax.device_get(stats)
             converged = bool(stats["converged"])
+            if not converged and not getattr(
+                self, "_op_state_fresh", True
+            ):
+                # self-healing reuse: the K-stale operator/PC was too
+                # stale for this step (large state motion — e.g. a
+                # steady march). Rebuild at the current guess and retry
+                # once; only a fresh-state failure is a real divergence.
+                self._op_state = None
+                u, p, r_u, r_p, stats = self._run_step(
+                    bc_u_vals, bc_p_vals
+                )
+                stats = jax.device_get(stats)
+                converged = bool(stats["converged"])
             self.last_stats = {
                 k: (v.item() if hasattr(v, "item") else v)
                 for k, v in stats.items()

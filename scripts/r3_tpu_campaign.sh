@@ -50,6 +50,12 @@ run_bench k4_kc     BENCH_PC_LAG_STEPS=4 BENCH_AMG_KCYCLE=1
 run_bench k4_p4     BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=4
 run_bench k4_p5     BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=5
 run_bench k4_p6     BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=6
+# Chebyshev AMG smoothing (degree 2/3): stronger cycles, fewer sweeps
+run_bench k4_ch2    BENCH_PC_LAG_STEPS=4 BENCH_AMG_CHEBY=2
+run_bench k4_ch3    BENCH_PC_LAG_STEPS=4 BENCH_AMG_CHEBY=3
+run_bench k4_ch2p2  BENCH_PC_LAG_STEPS=4 BENCH_AMG_CHEBY=2 BENCH_PC_INNER_P=2
+# lower-triangular Schur factorization: one u-solve per apply vs two
+run_bench k4_low    BENCH_PC_LAG_STEPS=4 BENCH_SCHUR_FACT=lower
 
 # -- stage 2: size ladder ---------------------------------------------
 run_bench k4_330k   BENCH_PC_LAG_STEPS=4 BENCH_RES_SCALE=0.17
@@ -66,7 +72,11 @@ say "campaign stages 1-2 complete; see $LOG"
 # ~1M DOF); c_L needs a finer obstacle ring (res_min; geom default is
 # r/6 = 0.0083). Steady march dt=0.2 T=18 as in the round-2 campaign,
 # with the tuned rasamg_sup config for speed.
-TUNED='"pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":3,"snes_lag_jacobian":true,"pc_ras_size":32,"pc_lag_steps":4'
+# NOTE: no pc_lag_steps / snes_lag_jacobian here — at the dt=0.2 steady
+# march the state moves too much per step and chord Newton with a
+# K-stale Jacobian stalls (measured: 100 Newton its, rtol never hit, on
+# the P2 smoke). Per-step rebuild + rasamg_sup is the steady-march fix.
+TUNED='"pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":3,"pc_ras_size":32'
 if [ "${R3_LONG:-0}" = "1" ]; then
   run_acc() {  # name res_scale extra_json
     name=$1; res=$2; extra=$3

@@ -8,6 +8,7 @@ check — the same role the reference's smoke-matrix configs play
 (/root/reference/src/experiments/config/test_stenosis.yaml sweeps solver
 families over bc_type combinations)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -211,6 +212,9 @@ def test_aux_pressure_recovery():
     # K-cycle (GCR(2)-accelerated coarse corrections, la/amg.py _gcr2)
     {"pc_inner_method": "rasamg_sup", "pc_inner_u": 0,
      "pc_amg_kcycle": True},
+    # Chebyshev polynomial AMG smoothing (la/amg.py cheby_degree)
+    {"pc_inner_method": "rasamg_sup", "pc_inner_u": 0,
+     "pc_amg_cheby": 2},
 ])
 def test_pc_options_converge(tmp_path, kw):
     sc = LidDriven2DSimulation(
@@ -222,6 +226,36 @@ def test_pc_options_converge(tmp_path, kw):
     # stay within a small factor of the amg_p default (~4/step here)
     cap = 150 if kw.get("pc_type") == "jacobi" else 25
     assert sc.solver.last_stats["ksp_iters"] <= cap
+
+
+def test_pc_lag_self_heal(tmp_path):
+    """A reuse step that fails to converge must trigger one rebuild-and-
+    retry at the current guess (stabilized_schur.solveStep) instead of
+    raising — only a fresh-state failure is a real divergence."""
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.05, mu=0.01, nx=10,
+        pc_inner_method="rasamg_sup", pc_inner_u=0, pc_inner_p=3,
+        pc_lag_steps=3,
+    )
+    s = sc.solver
+    s.solveStep()  # step 0: builds the carried state
+    orig = s._reuse_step
+    calls = {"n": 0}
+
+    def flaky(*a):
+        u, p, ru, rp, stats = orig(*a)
+        calls["n"] += 1
+        if calls["n"] == 1:  # poison the first reuse step's verdict
+            stats = dict(stats)
+            stats["converged"] = jnp.asarray(False)
+        return u, p, ru, rp, stats
+
+    s._reuse_step = flaky
+    s.u_prev, s.p_prev = s.u_sol, s.p_sol
+    s.solveStep()  # reuse step: flaky "failure" -> rebuild -> retry
+    assert calls["n"] == 2  # retried exactly once
+    assert s.last_stats["converged"]
+    assert s._op_state_fresh  # the retry rebuilt the carried state
 
 
 def test_pc_lag_steps_matches_default(tmp_path):
