@@ -70,13 +70,14 @@ say "campaign stages 1-2 complete; see $LOG"
 # -- stage 3 (R3_LONG=1): DFG 2D-1 accuracy ---------------------------
 # VERDICT round-3 item 5: dp needs P2 pressure (P1 entry projected at
 # ~1M DOF); c_L needs a finer obstacle ring (res_min; geom default is
-# r/6 = 0.0083). Steady march dt=0.2 T=18 as in the round-2 campaign,
-# with the tuned rasamg_sup config for speed.
-# NOTE: no pc_lag_steps / snes_lag_jacobian here — at the dt=0.2 steady
-# march the state moves too much per step and chord Newton with a
-# K-stale Jacobian stalls (measured: 100 Newton its, rtol never hit, on
-# the P2 smoke). Per-step rebuild + rasamg_sup is the steady-march fix.
-TUNED='"pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":3,"pc_ras_size":32'
+# r/6 = 0.0083).
+# March regime: dt=0.05, T=10, BC ramped over the first 10 steps. The
+# dt=0.2 impulsive start of the round-2 campaign is Newton-hostile for
+# P2 (measured: ~100 slow Newton its/step, CPU smokes never finished);
+# with the round-3 PC a 200-step dt=0.05 march is both Newton-safe and
+# cheaper wall-clock. No pc_lag_steps / snes_lag_jacobian for the same
+# reason (chord on a stale Jacobian stalls in marches).
+TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":3,"pc_ras_size":32'
 if [ "${R3_LONG:-0}" = "1" ]; then
   run_acc() {  # name res_scale extra_json
     name=$1; res=$2; extra=$3
@@ -86,7 +87,7 @@ if [ "${R3_LONG:-0}" = "1" ]; then
     probe || { say "TPU unhealthy, skipping acc $name"; return 1; }
     say "start acc $name: res=$res extra=$extra"
     out=$(PYTHONPATH=/root/repo timeout 14400 python \
-      scripts/validate_dfg2d1.py "$res" 0.2 2e-6 18 "$extra" \
+      scripts/validate_dfg2d1.py "$res" 0.05 2e-6 10 "$extra" \
       2>/tmp/r3_acc_err.log)
     code=$?
     { echo "ACC $name exit=$code"; echo "$out"; } >> "$LOG"

@@ -30,8 +30,14 @@ def main():
     from cfdtpu.scenarios.dfg_1 import DFG1Benchmark
     from cfdtpu.validation.dfg import check_dfg_2d1
 
+    # "solver" in the extra JSON picks the variant — e.g.
+    # stabilized_schur_ramping: the impulsive dt=0.2 start is Newton-
+    # hostile for P2 (measured: ~100 chord-slow iterations on the first
+    # steps); ramping the lid/inflow over 10 steps reaches the same
+    # steady state with ordinary per-step Newton counts.
+    solver_name = extra.pop("solver", "stabilized_schur")
     sc = DFG1Benchmark(
-        "stabilized_schur", dt=dt, T=T, res_scale=res_scale,
+        solver_name, dt=dt, T=T, res_scale=res_scale,
         dtype="auto", early_stop_tolerance=tol, **extra,
     )
     t0 = time.time()
