@@ -53,6 +53,8 @@ def _bench_dfg(steps: int):
         kw["pc_amg_kcycle"] = os.environ["BENCH_AMG_KCYCLE"] != "0"
     if os.environ.get("BENCH_AMG_CHEBY"):
         kw["pc_amg_cheby"] = int(os.environ["BENCH_AMG_CHEBY"])
+    if os.environ.get("BENCH_SUPERNODE_G"):
+        kw["supernode_g"] = int(os.environ["BENCH_SUPERNODE_G"])
     if os.environ.get("BENCH_PC_DTYPE"):
         kw["pc_dtype"] = os.environ["BENCH_PC_DTYPE"]
     if os.environ.get("BENCH_SCHUR_FACT"):

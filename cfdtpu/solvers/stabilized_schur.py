@@ -81,6 +81,7 @@ class Solver(SolverBase):
         pc_ras_overlap: int = 4,
         pc_lag_steps: int = 1,
         stats_every: int = 1,
+        supernode_g: int = 4,
         jit_const_args: bool | None = None,
         **kwargs,
     ):
@@ -116,6 +117,11 @@ class Solver(SolverBase):
         # stats fetch costs a full roundtrip plus the lost overlap.
         # Divergence still raises, at most N-1 steps late.
         self.stats_every = max(1, int(stats_every))
+        # node-BSR supernode width: g Hilbert-consecutive nodes per
+        # gathered row (TPU gather is per-row bound — wider rows move
+        # more bytes per gather at the price of more zero fill; g=8
+        # halves the gather count for ~1.8x the value bytes)
+        self.supernode_g = int(supernode_g)
         self.pc_amg_pairwise = bool(pc_amg_pairwise)
         self.pc_amg_smooth = int(pc_amg_smooth)
         # K-cycle (Notay): GCR(2)-accelerated coarse corrections in both
@@ -334,7 +340,7 @@ class Solver(SolverBase):
             from ..la.nodebsr import NodeBSR
 
             try:
-                nodebsr = NodeBSR(form)
+                nodebsr = NodeBSR(form, supernode_g=self.supernode_g)
             except ValueError:
                 nodebsr = None  # non-equal-order spaces: element path
             amg_methods = (

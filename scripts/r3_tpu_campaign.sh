@@ -56,6 +56,8 @@ run_bench k4_ch3    BENCH_PC_LAG_STEPS=4 BENCH_AMG_CHEBY=3
 run_bench k4_ch2p2  BENCH_PC_LAG_STEPS=4 BENCH_AMG_CHEBY=2 BENCH_PC_INNER_P=2
 # lower-triangular Schur factorization: one u-solve per apply vs two
 run_bench k4_low    BENCH_PC_LAG_STEPS=4 BENCH_SCHUR_FACT=lower
+# g=8 supernodes: half the gathers, ~1.8x the value bytes (PERF lever b)
+run_bench k4_g8     BENCH_PC_LAG_STEPS=4 BENCH_SUPERNODE_G=8
 
 # -- stage 2: size ladder ---------------------------------------------
 run_bench k4_330k   BENCH_PC_LAG_STEPS=4 BENCH_RES_SCALE=0.17
