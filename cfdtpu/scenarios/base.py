@@ -256,8 +256,6 @@ class Scenario(ABC):
 
         trace_dir = os.environ.get("CFDTPU_PROFILE")
         if trace_dir:
-            import jax
-
             jax.profiler.start_trace(trace_dir)
             print(f"[profile] tracing to {trace_dir}")
 
@@ -320,8 +318,6 @@ class Scenario(ABC):
             solver.p_prev = solver.p_sol
 
         if trace_dir:
-            import jax
-
             jax.profiler.stop_trace()
         for w in writers.values():
             w.close()

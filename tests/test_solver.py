@@ -30,6 +30,18 @@ def test_lid_driven_steps(lid_scenario, tmp_path_factory):
     assert (out / "wss.pvd").exists()
 
 
+def test_ten_step_march(tmp_path):
+    """>= 10 steps crosses the every-10-steps norm/early-stop fetch in
+    Scenario.solve — a path no other test reached (a shadowed-import
+    bug there survived a full green suite and broke every long run)."""
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.1, mu=0.01, nx=8
+    )
+    sc.solve(str(tmp_path))
+    assert sc.solver.step_count >= 10
+    assert sc.solver.last_stats["converged"]
+
+
 def test_lid_bc_enforced(lid_scenario):
     sc = lid_scenario
     V = sc.solver.V
