@@ -123,6 +123,9 @@ class PipeCylinder2D2Simulation(PipeCylinderSimulation):
         return 2.0 / (float(self.solver.rho) * um * um * 0.1)
 
     def solve(self, output_folder, afterStepCallback=None):
+        import jax
+        import jax.numpy as jnp
+
         from ..postprocess.forces import BoundaryForce
 
         bf = BoundaryForce(
@@ -131,19 +134,40 @@ class PipeCylinder2D2Simulation(PipeCylinderSimulation):
         )
         scale = self._coef_scale()
         self._force_rows = []
+        # forces stay ON DEVICE during the march: a float() per step is
+        # a host sync that serializes the async dispatch queue (~52 ms
+        # each on the axon relay x thousands of shedding steps). Pairs
+        # are packed into (64, 2) chunks device-side and fetched in one
+        # batched device_get at the end.
+        times: list[float] = []
+        pend: list = []
+        chunks: list = []
 
         def record(t):
             fd, fl = bf.drag_lift(
                 self.solver.u_sol, self.solver.p_sol, self.solver.mu
             )
-            self._force_rows.append(
-                (len(self._force_rows), float(t),
-                 scale * float(fd), scale * float(fl))
-            )
+            times.append(float(t))
+            pend.append(jnp.stack([fd, fl]))
+            if len(pend) == 64:
+                chunks.append(jnp.stack(pend))
+                pend.clear()
             if afterStepCallback:
                 afterStepCallback(t)
 
         out_path = super().solve(output_folder, record)
+        if pend:
+            chunks.append(jnp.stack(pend))
+            pend.clear()
+        if chunks:
+            arr = np.concatenate(
+                [np.asarray(c) for c in jax.device_get(chunks)]
+            )
+            self._force_rows = [
+                (i, times[i], scale * float(arr[i, 0]),
+                 scale * float(arr[i, 1]))
+                for i in range(len(times))
+            ]
         from ..dist.process import is_main_process
 
         if not is_main_process():

@@ -21,6 +21,35 @@ from typing import Any, Optional, Type, Union
 from .scenarios.base import Scenario
 
 
+def resolve_scenario_class(module, scenario_name: str):
+    """Pick the Scenario subclass a CLI scenario name means.
+
+    Candidates are taken in DEFINITION order (vars(module) preserves
+    it); inspect.getmembers is alphabetical, which used to pick
+    PipeCylinder2D2Simulation for 'pipe_cylinder' and an IMPORTED base
+    class for 'stenosis_with_tree_2d'. Classes defined in the module
+    beat imported ones; a class whose normalized name matches the
+    scenario name (modulo a Simulation/Benchmark/Scenario/Steady
+    suffix) beats definition order. Returns None if the module defines
+    no Scenario subclass."""
+    members = [
+        (k, v) for k, v in vars(module).items()
+        if inspect.isclass(v) and issubclass(v, Scenario)
+        and v is not Scenario
+    ]
+    own = [kv for kv in members if kv[1].__module__ == module.__name__]
+    pool = own or members
+    want = scenario_name.lower().replace("_", "")
+    for k, v in pool:
+        norm = k.lower().replace("_", "")
+        if norm in (
+            want, want + "simulation", want + "benchmark",
+            want + "scenario", want + "steady",
+        ):
+            return v
+    return pool[0][1] if pool else None
+
+
 class Simulation:
     def __init__(
         self,
@@ -103,14 +132,9 @@ class Simulation:
                     f"Available scenarios: {available}"
                 ) from e
 
-            for member_name, obj in inspect.getmembers(module):
-                if (
-                    inspect.isclass(obj)
-                    and issubclass(obj, Scenario)
-                    and obj is not Scenario
-                ):
-                    scenario_class = obj
-                    break
+            scenario_class = resolve_scenario_class(
+                module, self.scenario_name
+            )
 
         if not scenario_class:
             raise ValueError(

@@ -78,6 +78,28 @@ def test_divergence_small(lid_scenario):
     assert div_l2 < 0.15  # O(h) for P1-P1 PSPG at nx=12
 
 
+def test_scenario_name_resolution():
+    """The CLI name must resolve to the class DEFINED for that module —
+    alphabetical inspect.getmembers picked PipeCylinder2D2Simulation for
+    'pipe_cylinder' and an imported base for 'stenosis_with_tree_2d'."""
+    from importlib import import_module
+
+    from cfdtpu.simulation import resolve_scenario_class
+
+    def resolve(name):
+        module = import_module(f"cfdtpu.scenarios.{name}")
+        cls = resolve_scenario_class(module, name)
+        return cls.__name__ if cls else None
+
+    assert resolve("pipe_cylinder") == "PipeCylinderSimulation"
+    assert resolve("pipe_cylinder_2d2") == "PipeCylinder2D2"
+    assert resolve("stenosis_with_tree_2d") == (
+        "StenosisWithTree2DSimulation"
+    )
+    assert resolve("dfg_1") == "DFG1Benchmark"
+    assert resolve("vascular_tree") == "MicrovasculatureSimulation"
+
+
 def test_simulation_orchestrator(tmp_path):
     sim = Simulation(
         name="t",
