@@ -13,6 +13,10 @@ Rebuild of /root/reference/src/solvers/ipcs_bdf2.py: Taylor-Hood P2/P1;
 
 State u_n1 (velocity at n-1) updated after each step (:170-172).
 
+Distribution (`n_shards`): cell-sharded like ipcs_midpoint; here the
+step-1 operator depends on u_prev, so its jacfwd element-Jacobian build
+runs sharded every step and the blocks never exist unsharded anywhere.
+
 NOTE: unlike ipcs_midpoint, this scheme (like the reference, which has no
 `ds` boundary terms in F1) imposes pure natural conditions on any boundary
 facet not covered by a Dirichlet BC. On scenarios whose markers leave
@@ -147,32 +151,177 @@ class Solver(IPCSSolver):
             ye = jnp.einsum("cab,cb->ca", A, ve)
             return jnp.zeros((n_p,), dtype).at[dm_p].add(ye)
 
-        def step(u_prev, p_prev, u_n1, bc_u_vals, bc_p_vals, prm):
-            up_e = u_prev[dm_u]
-            un1_e = u_n1[dm_u]
-            ps_e = p_prev[dm_p]
+        # -- cell sweeps: serial or cell-sharded (n_shards) ---------------
+        # Same design as ipcs_midpoint: element blocks + every cell sweep
+        # partitioned over a "cells" device-mesh axis, one psum per sweep,
+        # replicated Krylov algebra. Step-1's operator depends on u_prev,
+        # so its jacfwd build sweep runs sharded EVERY step (the element
+        # Jacobian blocks never exist unsharded anywhere).
+        if self.n_shards:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            from ..dist.partition import make_device_mesh, _pad_to
 
-            # step 1: operator depends on u_prev -> rebuild per step
-            def flat1(xe, upe, un1e, pse, coords_e):
-                return self._r1_kernel(
-                    xe.reshape(nbu, dim), upe, un1e, pse, coords_e, prm
+            S = self.n_shards
+            dmesh = make_device_mesh(S, "cells")
+            nc_pad = ((mesh.num_cells + S - 1) // S) * S
+            mask_np = np.zeros(nc_pad, dtype)
+            mask_np[: mesh.num_cells] = 1.0
+            shspec = NamedSharding(dmesh, P("cells"))
+
+            def padsh(a):
+                return jax.device_put(
+                    jnp.asarray(_pad_to(np.asarray(a), nc_pad)), shspec
+                )
+
+            mask_c = jax.device_put(jnp.asarray(mask_np), shspec)
+            dm_u_s, dm_p_s, cc_s = padsh(dm_u), padsh(dm_p), padsh(cc)
+            dmf_s = padsh(dm_u_flat)
+            A2, A3 = padsh(A2), padsh(A3)
+
+            def apply_u(A, v_flat):  # noqa: F811 — sharded override
+                def local(A, dmf, m, v):
+                    ye = jnp.einsum("cab,cb->ca", A, v[dmf]) * m[:, None]
+                    y = jnp.zeros((n_u * dim,), dtype).at[dmf].add(ye)
+                    return jax.lax.psum(y, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"), P("cells"), P("cells"), P()),
+                    out_specs=P(),
+                )(A, dmf_s, mask_c, v_flat)
+
+            def apply_p(A, v):  # noqa: F811 — sharded override
+                def local(A, dmp, m, v):
+                    ye = jnp.einsum("cab,cb->ca", A, v[dmp]) * m[:, None]
+                    y = jnp.zeros((n_p,), dtype).at[dmp].add(ye)
+                    return jax.lax.psum(y, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"), P("cells"), P("cells"), P()),
+                    out_specs=P(),
+                )(A, dm_p_s, mask_c, v)
+
+            def build1(u_prev, p_prev, u_n1, prm):
+                def local(dm_u, dm_p, dmf, cc, m, u_prev, p_prev, u_n1,
+                          prm):
+                    up_e = u_prev[dm_u]
+                    un1_e = u_n1[dm_u]
+                    ps_e = p_prev[dm_p]
+
+                    def flat1(xe, upe, un1e, pse, coords_e):
+                        return self._r1_kernel(
+                            xe.reshape(nbu, dim), upe, un1e, pse,
+                            coords_e, prm,
+                        ).reshape(-1)
+
+                    A1 = jax.vmap(jax.jacfwd(flat1))(
+                        jnp.zeros((cc.shape[0], nbu * dim), dtype),
+                        up_e, un1_e, ps_e, cc,
+                    )
+                    d1 = jnp.zeros((n_u * dim,), dtype).at[dmf].add(
+                        A1[:, idx_u, idx_u] * m[:, None]
+                    )
+                    r0 = jax.vmap(
+                        self._r1_kernel, in_axes=(None, 0, 0, 0, 0, None)
+                    )(jnp.zeros((nbu, dim), dtype), up_e, un1_e, ps_e,
+                      cc, prm)
+                    b1 = jnp.zeros((n_u, dim), dtype).at[dm_u].add(
+                        -r0 * m[:, None, None]
+                    ).reshape(-1)
+                    return (
+                        A1,
+                        jax.lax.psum(d1, "cells"),
+                        jax.lax.psum(b1, "cells"),
+                    )
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"),) * 5 + (P(), P(), P(), P()),
+                    out_specs=(P("cells"), P(), P()),
+                )(dm_u_s, dm_p_s, dmf_s, cc_s, mask_c, u_prev, p_prev,
+                  u_n1, prm)
+
+            def rhs2(u_star, prm):
+                def local(dm_u, dm_p, cc, m, u_star, prm):
+                    r2 = jax.vmap(
+                        self._r2_kernel, in_axes=(None, 0, 0, None)
+                    )(jnp.zeros((nbp,), dtype), u_star[dm_u], cc, prm)
+                    b = jnp.zeros((n_p,), dtype).at[dm_p].add(
+                        -r2 * m[:, None]
+                    )
+                    return jax.lax.psum(b, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"),) * 4 + (P(), P()),
+                    out_specs=P(),
+                )(dm_u_s, dm_p_s, cc_s, mask_c, u_star, prm)
+
+            def rhs3(u_star, phi, prm):
+                def local(dm_u, dm_p, cc, m, u_star, phi, prm):
+                    r3 = jax.vmap(
+                        self._r3_kernel, in_axes=(None, 0, 0, 0, None)
+                    )(jnp.zeros((nbu, dim), dtype), u_star[dm_u],
+                      phi[dm_p], cc, prm)
+                    b = jnp.zeros((n_u, dim), dtype).at[dm_u].add(
+                        -r3 * m[:, None, None]
+                    ).reshape(-1)
+                    return jax.lax.psum(b, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"),) * 4 + (P(), P(), P()),
+                    out_specs=P(),
+                )(dm_u_s, dm_p_s, cc_s, mask_c, u_star, phi, prm)
+        else:
+            def build1(u_prev, p_prev, u_n1, prm):
+                up_e = u_prev[dm_u]
+                un1_e = u_n1[dm_u]
+                ps_e = p_prev[dm_p]
+
+                def flat1(xe, upe, un1e, pse, coords_e):
+                    return self._r1_kernel(
+                        xe.reshape(nbu, dim), upe, un1e, pse, coords_e,
+                        prm,
+                    ).reshape(-1)
+
+                A1 = jax.vmap(
+                    jax.jacfwd(flat1), in_axes=(0, 0, 0, 0, 0)
+                )(
+                    jnp.zeros((mesh.num_cells, nbu * dim), dtype),
+                    up_e, un1_e, ps_e, cc,
+                )
+                d1 = jnp.zeros((n_u * dim,), dtype).at[dm_u_flat].add(
+                    A1[:, idx_u, idx_u]
+                )
+                r0 = jax.vmap(
+                    self._r1_kernel, in_axes=(None, 0, 0, 0, 0, None)
+                )(zeros_u, up_e, un1_e, ps_e, cc, prm)
+                b1 = jnp.zeros((n_u, dim), dtype).at[dm_u].add(
+                    -r0
+                ).reshape(-1)
+                return A1, d1, b1
+
+            def rhs2(u_star, prm):
+                r2 = jax.vmap(
+                    self._r2_kernel, in_axes=(None, 0, 0, None)
+                )(zeros_p, u_star[dm_u], cc, prm)
+                return jnp.zeros((n_p,), dtype).at[dm_p].add(-r2)
+
+            def rhs3(u_star, phi, prm):
+                r3 = jax.vmap(
+                    self._r3_kernel, in_axes=(None, 0, 0, 0, None)
+                )(zeros_u, u_star[dm_u], phi[dm_p], cc, prm)
+                return jnp.zeros((n_u, dim), dtype).at[dm_u].add(
+                    -r3
                 ).reshape(-1)
 
-            A1 = jax.vmap(
-                jax.jacfwd(flat1), in_axes=(0, 0, 0, 0, 0)
-            )(
-                jnp.zeros((mesh.num_cells, nbu * dim), dtype),
-                up_e, un1_e, ps_e, cc,
-            )
-            d1 = jnp.zeros((n_u * dim,), dtype).at[dm_u_flat].add(
-                A1[:, idx_u, idx_u]
-            )
+        def step(u_prev, p_prev, u_n1, bc_u_vals, bc_p_vals, prm):
+            # step 1: operator depends on u_prev -> rebuild per step
+            A1, d1, b1 = build1(u_prev, p_prev, u_n1, prm)
             d1 = jnp.where(bc_mask_u_flat, 1.0, d1)
-
-            r0 = jax.vmap(
-                self._r1_kernel, in_axes=(None, 0, 0, 0, 0, None)
-            )(zeros_u, up_e, un1_e, ps_e, cc, prm)
-            b1 = jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r0).reshape(-1)
 
             def mv1(v):
                 y = apply_u(A1, v)
@@ -193,11 +342,7 @@ class Solver(IPCSSolver):
             u_star = us.reshape(n_u, dim)
 
             # step 2: phi
-            us_e = u_star[dm_u]
-            r2 = jax.vmap(
-                self._r2_kernel, in_axes=(None, 0, 0, None)
-            )(zeros_p, us_e, cc, prm)
-            b2 = jnp.zeros((n_p,), dtype).at[dm_p].add(-r2)
+            b2 = rhs2(u_star, prm)
 
             def mv2(v):
                 y = apply_p(A2, v)
@@ -223,11 +368,7 @@ class Solver(IPCSSolver):
                 p_new = p_new - jnp.mean(p_new)
 
             # step 3
-            phi_e = phi[dm_p]
-            r3 = jax.vmap(
-                self._r3_kernel, in_axes=(None, 0, 0, 0, None)
-            )(zeros_u, us_e, phi_e, cc, prm)
-            b3 = jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r3).reshape(-1)
+            b3 = rhs3(u_star, phi, prm)
 
             def mv3(v):
                 return apply_u(A3, v)

@@ -15,6 +15,13 @@ blocks at setup — the reference assembles PETSc matrices once, :86-96);
 each step builds the right-hand sides with vmapped kernels and runs
 jitted Krylov solves (the analogue of BCGS/CG + hypre/SOR, :98-116).
 The entire 3-solve step is one jitted function.
+
+Distribution (`n_shards`): cell-sharded, dof-replicated — the element
+operators and every cell sweep (RHS assembly, operator application) are
+partitioned over a `jax.sharding.Mesh` "cells" axis via shard_map; one
+psum per sweep replaces the dolfinx REVERSE+FORWARD ghost updates while
+Krylov vector algebra runs replicated (dist/partition.py design). Per-
+chip element-operator memory and sweep FLOPs drop ~n_shards-fold.
 """
 
 from __future__ import annotations
@@ -47,9 +54,11 @@ class Solver(SolverBase):
         initial_velocity: Callable | None = None,
         ksp_rtol: float | None = None,
         ksp_max_it: int = 500,
+        n_shards: int | None = None,
         **kwargs,
     ):
         super().__init__(mesh, dt, rho, mu, f, initial_velocity)
+        self.n_shards = int(n_shards) if n_shards else None
         from ..utils.dtypes import default_tolerances
 
         self.ksp_rtol = (
@@ -328,15 +337,136 @@ class Solver(SolverBase):
         def precond_p(v):
             return p_amg.v_cycle(p_amg_built, v)
 
+        # -- cell sweeps: serial or cell-sharded (n_shards) ---------------
+        if self.n_shards:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            from ..dist.partition import make_device_mesh, _pad_to
+
+            S = self.n_shards
+            dmesh = make_device_mesh(S, "cells")
+            nc_pad = ((mesh.num_cells + S - 1) // S) * S
+            mask_np = np.zeros(nc_pad, dtype)
+            mask_np[: mesh.num_cells] = 1.0
+            shspec = NamedSharding(dmesh, P("cells"))
+
+            def padsh(a):  # pad cell axis to nc_pad, shard over devices
+                return jax.device_put(
+                    jnp.asarray(_pad_to(np.asarray(a), nc_pad)), shspec
+                )
+
+            mask_c = jax.device_put(jnp.asarray(mask_np), shspec)
+            dm_u_s, dm_p_s, cc_s = padsh(dm_u), padsh(dm_p), padsh(cc)
+            dmf_s = padsh(dm_u_flat)
+            # element operators live sharded for their whole lifetime
+            A1, A2, A3 = padsh(A1), padsh(A2), padsh(A3)
+
+            def apply_u(A, Ab, v_flat):
+                def local(A, dmf, m, v):
+                    ye = jnp.einsum("cab,cb->ca", A, v[dmf]) * m[:, None]
+                    y = jnp.zeros((n_u * dim,), dtype).at[dmf].add(ye)
+                    return jax.lax.psum(y, "cells")
+
+                y = shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"), P("cells"), P("cells"), P()),
+                    out_specs=P(),
+                )(A, dmf_s, mask_c, v_flat)
+                if Ab is not None:  # boundary block: small, replicated
+                    vb = v_flat[dm_u_flat_b]
+                    yb = jnp.einsum("fab,fb->fa", Ab, vb)
+                    y = y.at[dm_u_flat_b].add(yb)
+                return y
+
+            def apply_p(A, v):
+                def local(A, dmp, m, v):
+                    ye = jnp.einsum("cab,cb->ca", A, v[dmp]) * m[:, None]
+                    y = jnp.zeros((n_p,), dtype).at[dmp].add(ye)
+                    return jax.lax.psum(y, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"), P("cells"), P("cells"), P()),
+                    out_specs=P(),
+                )(A, dm_p_s, mask_c, v)
+
+            def rhs1(u_prev, p_prev, prm):
+                def local(dm_u, dm_p, cc, m, u_prev, p_prev, prm):
+                    r0 = jax.vmap(
+                        self._r1_kernel, in_axes=(None, 0, 0, 0, None)
+                    )(jnp.zeros((nbu, dim), dtype), u_prev[dm_u],
+                      p_prev[dm_p], cc, prm)
+                    b = jnp.zeros((n_u, dim), dtype).at[dm_u].add(
+                        -r0 * m[:, None, None]
+                    )
+                    return jax.lax.psum(b, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"),) * 4 + (P(), P(), P()),
+                    out_specs=P(),
+                )(dm_u_s, dm_p_s, cc_s, mask_c, u_prev, p_prev, prm)
+
+            def rhs2(p_prev, u_star, prm):
+                def local(dm_u, dm_p, cc, m, p_prev, u_star, prm):
+                    r2 = jax.vmap(
+                        self._r2_kernel, in_axes=(None, 0, 0, 0, None)
+                    )(jnp.zeros((nbp,), dtype), p_prev[dm_p],
+                      u_star[dm_u], cc, prm)
+                    b = jnp.zeros((n_p,), dtype).at[dm_p].add(
+                        -r2 * m[:, None]
+                    )
+                    return jax.lax.psum(b, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"),) * 4 + (P(), P(), P()),
+                    out_specs=P(),
+                )(dm_u_s, dm_p_s, cc_s, mask_c, p_prev, u_star, prm)
+
+            def rhs3(u_star, p_new, p_prev, prm):
+                def local(dm_u, dm_p, cc, m, u_star, p_new, p_prev, prm):
+                    r3 = jax.vmap(
+                        self._r3_kernel, in_axes=(None, 0, 0, 0, 0, None)
+                    )(jnp.zeros((nbu, dim), dtype), u_star[dm_u],
+                      p_new[dm_p], p_prev[dm_p], cc, prm)
+                    b = jnp.zeros((n_u, dim), dtype).at[dm_u].add(
+                        -r3 * m[:, None, None]
+                    )
+                    return jax.lax.psum(b, "cells")
+
+                return shard_map(
+                    local, mesh=dmesh,
+                    in_specs=(P("cells"),) * 4 + (P(), P(), P(), P()),
+                    out_specs=P(),
+                )(dm_u_s, dm_p_s, cc_s, mask_c, u_star, p_new, p_prev,
+                  prm)
+        else:
+            def rhs1(u_prev, p_prev, prm):
+                r0 = jax.vmap(
+                    self._r1_kernel, in_axes=(None, 0, 0, 0, None)
+                )(zeros_u, u_prev[dm_u], p_prev[dm_p], cc, prm)
+                return jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r0)
+
+            def rhs2(p_prev, u_star, prm):
+                r2 = jax.vmap(
+                    self._r2_kernel, in_axes=(None, 0, 0, 0, None)
+                )(zeros_p, p_prev[dm_p], u_star[dm_u], cc, prm)
+                return jnp.zeros((n_p,), dtype).at[dm_p].add(-r2)
+
+            def rhs3(u_star, p_new, p_prev, prm):
+                r3 = jax.vmap(
+                    self._r3_kernel, in_axes=(None, 0, 0, 0, 0, None)
+                )(zeros_u, u_star[dm_u], p_new[dm_p], p_prev[dm_p], cc,
+                  prm)
+                return jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r3)
+
         def step(u_prev, p_prev, bc_u_vals, bc_p_vals, prm):
             up_e = u_prev[dm_u]
             pp_e = p_prev[dm_p]
 
             # -- step 1: tentative velocity -------------------------------
-            r0 = jax.vmap(
-                self._r1_kernel, in_axes=(None, 0, 0, 0, None)
-            )(zeros_u, up_e, pp_e, cc, prm)
-            b1 = jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r0)
+            b1 = rhs1(u_prev, p_prev, prm)
             rb0 = jax.vmap(
                 self._r1_boundary_kernel,
                 in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None),
@@ -364,11 +494,7 @@ class Solver(SolverBase):
             u_star = us.reshape(n_u, dim)
 
             # -- step 2: pressure Poisson --------------------------------
-            us_e = u_star[dm_u]
-            r2 = jax.vmap(
-                self._r2_kernel, in_axes=(None, 0, 0, 0, None)
-            )(zeros_p, pp_e, us_e, cc, prm)
-            b2 = jnp.zeros((n_p,), dtype).at[dm_p].add(-r2)
+            b2 = rhs2(p_prev, u_star, prm)
 
             def mv2(v):
                 y = apply_p(A2, v)
@@ -393,11 +519,7 @@ class Solver(SolverBase):
                 p_new = p_new - jnp.mean(p_new)
 
             # -- step 3: velocity correction -----------------------------
-            ps_e = p_new[dm_p]
-            r3 = jax.vmap(
-                self._r3_kernel, in_axes=(None, 0, 0, 0, 0, None)
-            )(zeros_u, us_e, ps_e, pp_e, cc, prm)
-            b3 = jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r3).reshape(-1)
+            b3 = rhs3(u_star, p_new, p_prev, prm).reshape(-1)
 
             def mv3(v):
                 return apply_u(A3, None, v)

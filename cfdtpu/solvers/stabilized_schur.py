@@ -43,6 +43,10 @@ from .base import SolverBase
 class Solver(SolverBase):
     MAX_ITER = 20
     BOUNDARY_CORRECTION = True
+    # Subclasses whose _build_step bypasses the node-BSR halo machinery
+    # (e.g. stabilized_staggered's form-API segregated loop) set this
+    # False so n_shards routes them to the cell-sharded ShardedNSForm.
+    HALO_DISTRIBUTION = True
 
     def __init__(
         self,
@@ -222,7 +226,8 @@ class Solver(SolverBase):
         self._use_halo = False
         if self.n_shards:
             halo_able = (
-                self.operator_format == "node_bsr"
+                type(self).HALO_DISTRIBUTION
+                and self.operator_format == "node_bsr"
                 and self.pc_type == "schur"
                 and np.array_equal(
                     np.asarray(self.V.dofmap), np.asarray(self.Q.dofmap)

@@ -30,6 +30,12 @@ STAG_TOL = 1e-8
 
 
 class Solver(BaseSolver):
+    # This segregated loop runs on the form API (residual /
+    # element_jacobians / apply_sub_block), which ShardedNSForm
+    # implements — so n_shards distributes via cell sharding, not the
+    # node-BSR halo step (whose PC machinery this solver never builds).
+    HALO_DISTRIBUTION = False
+
     def _build_step(self) -> None:
         form = self.form
         n_u = self.V.num_dofs

@@ -356,3 +356,65 @@ def test_shard_assembly_matches_serial():
             atol=1e-10,
         )
     assert covered == set(range(nc))
+
+
+# -- segregated-family distribution (cell-sharded, dof-replicated) -------
+
+def _march(solver, steps):
+    for _ in range(steps):
+        solver.solveStep()
+        solver.u_prev, solver.p_prev = solver.u_sol, solver.p_sol
+    return np.asarray(solver.u_sol), np.asarray(solver.p_sol)
+
+
+def test_ipcs_midpoint_sharded_matches_serial():
+    """ipcs_midpoint with n_shards: element operators + RHS sweeps cell-
+    sharded over 8 devices must reproduce the serial march."""
+    from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+
+    kw = dict(dt=0.005, T=1.0, mu=0.01, nx=10)
+    ser = LidDriven2DSimulation("ipcs_midpoint", **kw).solver
+    sh = LidDriven2DSimulation("ipcs_midpoint", n_shards=8, **kw).solver
+    u_s, p_s = _march(ser, 3)
+    u_d, p_d = _march(sh, 3)
+    # psum reduction order differs from the serial scatter order, and the
+    # Krylov solves stop at rtol — agreement is tolerance-level, not bitwise
+    assert np.allclose(u_d, u_s, atol=3e-6)
+    assert np.allclose(p_d, p_s, atol=3e-5)
+
+
+def test_ipcs_bdf2_sharded_matches_serial():
+    """ipcs_bdf2: the per-step sharded jacfwd operator build (the element
+    blocks never exist unsharded) must reproduce the serial march."""
+    from cfdtpu.scenarios.unit_square import UnitSquareSimulation
+
+    kw = dict(dt=0.005, T=1.0, mu=0.05, nx=8)
+    ser = UnitSquareSimulation("ipcs_bdf2", **kw).solver
+    sh = UnitSquareSimulation("ipcs_bdf2", n_shards=8, **kw).solver
+    u_s, p_s = _march(ser, 3)
+    u_d, p_d = _march(sh, 3)
+    # psum reduction order differs from the serial scatter order, and the
+    # Krylov solves stop at rtol — agreement is tolerance-level, not bitwise
+    assert np.allclose(u_d, u_s, atol=3e-6)
+    assert np.allclose(p_d, p_s, atol=3e-5)
+
+
+def test_staggered_sharded_matches_serial():
+    """stabilized_staggered consumes the form API, so n_shards routes it
+    through ShardedNSForm (HALO_DISTRIBUTION = False) — equivalence with
+    the serial segregated Newton loop."""
+    from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+
+    kw = dict(dt=0.01, T=1.0, mu=0.01, nx=8)
+    ser = LidDriven2DSimulation("stabilized_staggered", **kw).solver
+    sh = LidDriven2DSimulation(
+        "stabilized_staggered", n_shards=8, **kw
+    ).solver
+    assert not getattr(sh, "_use_halo", False)
+    from cfdtpu.dist import ShardedNSForm
+
+    assert isinstance(sh.form, ShardedNSForm)
+    u_s, p_s = _march(ser, 2)
+    u_d, p_d = _march(sh, 2)
+    assert np.allclose(u_d, u_s, atol=3e-6)
+    assert np.allclose(p_d, p_s, atol=3e-5)
