@@ -84,13 +84,22 @@ def generate_mesh_2d(
     smooth_iters: int = 6,
     dtype=np.float64,
     seed: int = 0,
+    inside_fn=None,
+    hole_fns=None,
 ) -> Mesh:
     """Triangulate the region inside outer_loop minus the holes.
 
     outer_loop / hole_loops: (n, 2) boundary point loops, already sampled
     at the desired local spacing (their points are preserved exactly).
     size_fn: x (2,) -> target edge length (defaults to the median boundary
-    spacing).
+    spacing); batched callables (points in the LAST axis, x[..., 0]) are
+    detected and used directly — scalar-only callables fall back to a
+    Python loop.
+    inside_fn / hole_fns: optional EXACT membership predicates,
+    (n, 2) -> bool, replacing the O(n_pts * n_poly_edges) even-odd
+    polygon tests (the host-setup hotspot at large meshes: callers like
+    the DFG channel know their geometry analytically — a bounds check
+    and a radius check).
     """
     hole_loops = hole_loops or []
     boundary = np.concatenate([outer_loop] + hole_loops, axis=0)
@@ -108,7 +117,28 @@ def generate_mesh_2d(
     pad = 1e-9 * np.linalg.norm(hi - lo)
 
     # octree-style graded interior candidates
-    sizes_at = lambda P: np.array([float(size_fn(p)) for p in P])
+    def sizes_at(P):
+        try:  # batched sizing (points along the last axis)
+            s = np.asarray(size_fn(P), dtype=float)
+            if s.shape == (len(P),) and np.isfinite(s).all():
+                return s
+        except Exception:
+            pass
+        return np.array([float(size_fn(p)) for p in P])
+
+    def region_mask(P):
+        """True where P is inside the domain (outer minus holes)."""
+        if inside_fn is not None:
+            ok = np.asarray(inside_fn(P), dtype=bool)
+        else:
+            ok = _point_in_polygon(P, outer_loop)
+        for i, hole in enumerate(hole_loops):
+            hf = hole_fns[i] if hole_fns is not None else None
+            if hf is not None:
+                ok &= ~np.asarray(hf(P), dtype=bool)
+            else:
+                ok &= ~_point_in_polygon(P, hole)
+        return ok
     smin_probe = sizes_at(boundary).min()
     smax_probe = max(
         default_size,
@@ -137,10 +167,7 @@ def generate_mesh_2d(
     interior = np.concatenate(interior, axis=0)
 
     # keep only points inside the domain and away from the boundary
-    inside = _point_in_polygon(interior, outer_loop)
-    for hole in hole_loops:
-        inside &= ~_point_in_polygon(interior, hole)
-    interior = interior[inside]
+    interior = interior[region_mask(interior)]
     tree = cKDTree(boundary)
     d, _ = tree.query(interior)
     keep = d > 0.6 * sizes_at(interior)
@@ -152,26 +179,38 @@ def generate_mesh_2d(
         tri = Delaunay(pts)
         cells = tri.simplices
         cent = pts[cells].mean(axis=1)
-        ok = _point_in_polygon(cent, outer_loop)
-        for hole in hole_loops:
-            ok &= ~_point_in_polygon(cent, hole)
-        return cells[ok]
+        return cells[region_mask(cent)]
 
     cells = triangulate(pts)
 
-    # Lloyd-style smoothing: interior points -> mean of neighbours
-    for _ in range(smooth_iters):
+    # Lloyd-style smoothing: interior points -> mean of neighbours.
+    # bincount-based accumulation (much faster than ufunc.at); at very
+    # large point counts retriangulate every 2nd pass only — the qhull
+    # calls dominate host setup there (e.g. the ~1M-DOF bench ladder),
+    # and Lloyd averaging tolerates one-pass-stale connectivity. The
+    # threshold keeps every recorded validation-campaign mesh (< 100k
+    # points) byte-identical.
+    retri_every = 2 if len(pts) > 100_000 else 1
+    npts = len(pts)
+    for it in range(smooth_iters):
         nbr_sum = np.zeros_like(pts)
-        nbr_cnt = np.zeros(len(pts))
+        nbr_cnt = np.zeros(npts)
         for (a, b) in [(0, 1), (1, 2), (2, 0)]:
             e0, e1 = cells[:, a], cells[:, b]
-            np.add.at(nbr_sum, e0, pts[e1])
-            np.add.at(nbr_sum, e1, pts[e0])
-            np.add.at(nbr_cnt, e0, 1)
-            np.add.at(nbr_cnt, e1, 1)
+            for d in range(2):
+                nbr_sum[:, d] += np.bincount(
+                    e0, weights=pts[e1, d], minlength=npts
+                )
+                nbr_sum[:, d] += np.bincount(
+                    e1, weights=pts[e0, d], minlength=npts
+                )
+            cnt = np.bincount(e0, minlength=npts)
+            cnt += np.bincount(e1, minlength=npts)
+            nbr_cnt += cnt
         avg = nbr_sum / np.maximum(nbr_cnt, 1)[:, None]
         pts[n_bnd:] = avg[n_bnd:]
-        cells = triangulate(pts)
+        if (it + 1) % retri_every == 0 or it == smooth_iters - 1:
+            cells = triangulate(pts)
 
     # drop unused points (holes may strand candidates) and remap
     used = np.unique(cells)

@@ -31,8 +31,9 @@ def generate_dfg_mesh(
     res_min = (R / 6 if res_min is None else res_min) * res_scale
     res_max = (H / 13 if res_max is None else res_max) * res_scale
 
-    def size_fn(x):
-        d = np.hypot(x[0] - CX, x[1] - CY) - R
+    def size_fn(x):  # batched: points along the LAST axis
+        x = np.asarray(x)
+        d = np.hypot(x[..., 0] - CX, x[..., 1] - CY) - R
         t = np.clip((d - R) / (2 * H - R), 0.0, 1.0)
         return res_min + (res_max - res_min) * t
 
@@ -40,7 +41,17 @@ def generate_dfg_mesh(
     nth = max(12, int(round(2 * np.pi * R / res_min)))
     th = np.linspace(0, 2 * np.pi, nth, endpoint=False)
     hole = np.stack([CX + R * np.cos(th), CY + R * np.sin(th)], axis=-1)
-    m = generate_mesh_2d(outer, [hole], size_fn, dtype=dtype)
+    m = generate_mesh_2d(
+        outer, [hole], size_fn, dtype=dtype,
+        # exact membership predicates (rectangle / disc) replace the
+        # even-odd polygon sweeps — the large-mesh host-setup hotspot
+        inside_fn=lambda P: (
+            (P[:, 0] > 0) & (P[:, 0] < L) & (P[:, 1] > 0) & (P[:, 1] < H)
+        ),
+        hole_fns=[
+            lambda P: np.hypot(P[:, 0] - CX, P[:, 1] - CY) < R
+        ],
+    )
 
     m.mark_boundary_facets(lambda x: np.isclose(x[0], 0.0), inlet_marker)
     m.mark_boundary_facets(lambda x: np.isclose(x[0], L), outlet_marker)

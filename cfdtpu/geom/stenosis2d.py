@@ -136,8 +136,9 @@ def generate_stenosis_mesh_2d(
     # higher resolution near the throat
     x_sten, dist_x = x_position_stenosis, prof["dist_x"]
 
-    def size_fn(x):
-        d = abs(x[0] - x_sten)
+    def size_fn(x):  # batched: points along the LAST axis
+        x = np.asarray(x)
+        d = np.abs(x[..., 0] - x_sten)
         t = np.clip((d - dist_x) / (3 * dist_x), 0.0, 1.0)
         return res * (0.7 + 0.8 * t)
 

@@ -325,16 +325,18 @@ class NodeBSR:
         col_s = col[by_col]
         cptr = np.searchsorted(col_s, np.arange(n + 1))
         rptr = np.searchsorted(row, np.arange(n + 1))  # row already sorted
-        e1_list, e2_list = [], []
-        for K in range(n):
-            a = by_col[cptr[K]:cptr[K + 1]]
-            b = np.arange(rptr[K], rptr[K + 1])
-            if len(a) == 0 or len(b) == 0:
-                continue
-            e1_list.append(np.repeat(a, len(b)))
-            e2_list.append(np.tile(b, len(a)))
-        e1 = np.concatenate(e1_list)
-        e2 = np.concatenate(e2_list)
+        # segmented cartesian product, fully vectorized (a per-node
+        # Python loop here cost ~100 s at ~1M DOF): for each middle node
+        # K, pair every entry with col==K (a block per such entry, in
+        # by_col order) against the contiguous row-range rptr[K]:rptr[K+1]
+        cb = np.diff(rptr)              # entries with row == K
+        blk_len = cb[col_s]             # block length per sorted entry
+        tot = int(blk_len.sum())
+        block_id = np.repeat(np.arange(ne, dtype=np.int64), blk_len)
+        starts = np.concatenate(([0], np.cumsum(blk_len)[:-1]))
+        within = np.arange(tot, dtype=np.int64) - starts[block_id]
+        e1 = by_col[block_id]
+        e2 = rptr[col_s][block_id] + within
         prod_keys = row[e1] * n + col[e2]
         app_keys = row * n + col
         uniq = np.unique(np.concatenate([prod_keys, app_keys]))

@@ -42,14 +42,13 @@ class StenosisMeshVariableSimulation(StenosisSimulation):
             R_min, dist_x = prof["R_min"], prof["dist_x"]
             size_min = R_min / self.n_rad
 
-            def size_fn(x):
-                r_local = np.interp(x[0], xs, rs)
+            def size_fn(x):  # batched: points along the LAST axis
+                x = np.asarray(x)
+                r_local = np.interp(x[..., 0], xs, rs)
                 base = r_local / self.n_rad * 2
-                d = abs(x[0] - x_sten)
-                if d < 2 * dist_x:
-                    t = d / (2 * dist_x)
-                    return size_min + (base - size_min) * t
-                return base
+                d = np.abs(x[..., 0] - x_sten)
+                t = np.minimum(d / (2 * dist_x), 1.0)
+                return size_min + (base - size_min) * t
 
             res_bnd = size_min
 
