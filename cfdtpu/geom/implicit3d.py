@@ -42,13 +42,25 @@ def _capsule_sdf(x, p0, p1, r0, r1):
     return np.linalg.norm(x - proj, axis=1) - r
 
 
-def _network_sdf(x, segments, end_planes):
+def _network_sdf(x, segments, end_planes, blend: float = 0.0):
+    """Union field over capsules, clipped by end planes.
+
+    blend > 0 joins capsules with the quadratic smooth-min (blending
+    radius = blend), giving fillet-like junctions — the in-framework
+    analogue of the reference's OCC lofted bifurcations / fillets
+    (graph_to_mesh.py lofts, coupling.py fillets). blend = 0 is the
+    exact hard union. The smooth min under-estimates true distance
+    near junctions, which is fine for level-set meshing + snapping."""
     sd = np.full(len(x), np.inf)
     for (p0, p1, r0, r1) in segments:
-        sd = np.minimum(sd, _capsule_sdf(x, np.asarray(p0, float),
-                                         np.asarray(p1, float),
-                                         float(r0), float(r1)))
-    for (q, n_) in end_planes:
+        c = _capsule_sdf(x, np.asarray(p0, float), np.asarray(p1, float),
+                         float(r0), float(r1))
+        if blend > 0.0:
+            hb = np.maximum(blend - np.abs(sd - c), 0.0) / blend
+            sd = np.minimum(sd, c) - 0.25 * blend * hb * hb
+        else:
+            sd = np.minimum(sd, c)
+    for (q, n_) in end_planes:  # end cuts stay sharp
         sd = np.maximum(sd, (x - np.asarray(q, float))
                         @ np.asarray(n_, float))
     return sd
@@ -61,6 +73,7 @@ def mesh_implicit_union(
     outlet_ends=None,
     dtype=np.float64,
     snap_iters: int = 2,
+    blend: float = 0.0,
 ) -> Mesh:
     """Tet-mesh the union of tapered capsules.
 
@@ -70,6 +83,8 @@ def mesh_implicit_union(
         inlet_end: (point, outward_normal) of the open inlet plane.
         outlet_ends: list of (point, outward_normal) open outlet planes.
         snap_iters: boundary-vertex projection sweeps onto the surface.
+        blend: smooth-min blending radius at capsule junctions (0 =
+            hard union; ~r/2 gives OCC-fillet-like branch joins).
 
     Returns a Mesh with boundary facets tagged INLET/OUTLET/WALL.
     """
@@ -127,7 +142,7 @@ def mesh_implicit_union(
         np.stack([c000, c101, c100, c111], axis=1),
     ], axis=0)
 
-    sd = _network_sdf(verts, segments, end_planes)
+    sd = _network_sdf(verts, segments, end_planes, blend)
     inside = sd < 0
     keep = inside[tets].all(axis=1)
     tets = tets[keep]
@@ -167,11 +182,11 @@ def mesh_implicit_union(
         P = points.copy()
         for _ in range(snap_iters):
             x = P[bverts]
-            s = _network_sdf(x, segments, end_planes)
+            s = _network_sdf(x, segments, end_planes, blend)
             eps = 1e-4 * h
             g = np.stack([
-                (_network_sdf(x + eps * e, segments, end_planes) - s)
-                / eps
+                (_network_sdf(x + eps * e, segments, end_planes, blend)
+                 - s) / eps
                 for e in np.eye(3)
             ], axis=1)
             gn = np.maximum(np.linalg.norm(g, axis=1), 1e-12)
@@ -223,6 +238,7 @@ def bifurcation_mesh(
     angle2: float = -0.7,
     h: float = 0.35,
     dtype=np.float64,
+    blend: float | None = None,
 ) -> Mesh:
     """A Y-bifurcation (one inlet, two outlets) — the native twin of the
     reference's simple_bifurcation.msh geometry (scenario
@@ -240,10 +256,13 @@ def bifurcation_mesh(
         (p_junction, p_out1, r_out1 * 1.1, r_out1),
         (p_junction, p_out2, r_out2 * 1.1, r_out2),
     ]
-    # outlet tags 2 and 4 match SimpleBifurcationSimulation's markers
+    # outlet tags 2 and 4 match SimpleBifurcationSimulation's markers;
+    # junctions blended at half the inlet radius by default (the lofted-
+    # bifurcation look of the reference's OCC path)
     return mesh_implicit_union(
         segments, h,
         inlet_end=(p_in, np.array([-1.0, 0.0, 0.0])),
         outlet_ends=[(p_out1, d1, 2), (p_out2, d2, 4)],
         dtype=dtype,
+        blend=0.5 * r_in if blend is None else blend,
     )

@@ -205,4 +205,7 @@ def mesh_full_geometry(params: dict, tree: VascularTree | None = None):
     return mesh_implicit_union(
         segments, h=res * r_min, inlet_end=inlet_end,
         outlet_ends=outlet_ends,
+        # junction fillets (smooth-min); "blend" knob in the geometry
+        # params, default half the smallest radius
+        blend=float(params.get("blend", 0.5 * r_min)),
     )

@@ -38,14 +38,19 @@ def tree_segments(tree):
     return segments, inlet_end, outlet_ends
 
 
-def tree_to_mesh3d(tree, res: float = 0.35):
+def tree_to_mesh3d(tree, res: float = 0.35, blend: float | None = None):
     """Tet-mesh a VascularTree. `res` is the cell size as a fraction of
-    the root radius (matches scripts/tree_to_mesh.py --res)."""
+    the root radius (matches scripts/tree_to_mesh.py --res). Branch
+    junctions are smooth-min blended at half the local minimum radius by
+    default (the lofted-junction fidelity of the reference's OCC path);
+    pass blend=0 for the hard capsule union."""
     from .implicit3d import mesh_implicit_union
 
     segments, inlet_end, outlet_ends = tree_segments(tree)
     r0 = float(tree.edges[0]["radius"])
+    r_min = min(min(s[2], s[3]) for s in segments)
     return mesh_implicit_union(
         segments, h=res * r0, inlet_end=inlet_end,
         outlet_ends=outlet_ends,
+        blend=0.5 * r_min if blend is None else blend,
     )

@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--thicken", type=float, default=0.0)
     ap.add_argument("--thicken-level", type=int, default=0)
     ap.add_argument(
+        "--blend", type=float, default=None,
+        help="3d junction smooth-min radius (default: half the min "
+             "branch radius; 0 = hard capsule union)",
+    )
+    ap.add_argument(
         "--mode", choices=["2d", "3d"], default="2d",
         help="2d: project + capsule-union triangle mesh; 3d: native "
              "implicit-union tet mesh with inlet/outlet tagging (the "
@@ -76,10 +81,12 @@ def main() -> int:
                 d = d / max(np.linalg.norm(d), 1e-30)
                 outlet_ends.append((nodes[e["to"]], d))
         r0 = float(root["radius"])
+        r_min = min(min(s[2], s[3]) for s in segments)
         mesh = mesh_implicit_union(
             segments, h=args.res * r0,
             inlet_end=(nodes[root["from"]], -rdir),
             outlet_ends=outlet_ends,
+            blend=(0.5 * r_min if args.blend is None else args.blend),
         )
         np.savez(
             args.out,

@@ -94,3 +94,27 @@ def test_native3d_stenosis_and_tree_types(tmp_path):
         out = tmp_path / f"meshes_{gtype}"
         assert run_meshing(str(cfg), str(out)) == 0
         assert list(out.glob("exp_*/mesh.npz"))
+
+
+def test_junction_blend_adds_fillet_material():
+    """Smooth-min junction blending (the lofted-bifurcation/fillet
+    fidelity knob, ref graph_to_mesh.py lofts): blended union strictly
+    contains the hard union at the branch point, end tags intact."""
+    import numpy as np
+
+    from cfdtpu.geom.implicit3d import bifurcation_mesh
+
+    def vol(m):
+        p = m.points[m.cells]
+        a = p[:, 1] - p[:, 0]
+        b = p[:, 2] - p[:, 0]
+        c = p[:, 3] - p[:, 0]
+        return float(
+            np.abs(np.einsum("ij,ij->i", np.cross(a, b), c)).sum() / 6
+        )
+
+    m_hard = bifurcation_mesh(h=0.35, blend=0.0)
+    m_soft = bifurcation_mesh(h=0.35)  # default blend = r_in / 2
+    assert vol(m_soft) > vol(m_hard)
+    tags = set(np.asarray(m_soft.facet_tags).tolist())
+    assert {1, 2, 4}.issubset(tags)  # inlet + both outlet markers
