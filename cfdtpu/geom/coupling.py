@@ -57,21 +57,43 @@ def coupling_cone_profile(r_start, r_end, slope):
     return L, radius
 
 
-def generate_coupling_geometry(*args, **kwargs):
-    try:
-        import cadquery  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "3D coupling solids require CadQuery (offline preprocessing). "
-            "Use coupling_cone_profile/rodrigues_rotation_matrix for the "
-            "placement math and mesh offline; 2D couplings are handled "
-            "natively by the tree union mesher (geom/tree_mesh2d.py)."
-        ) from e
-    raise NotImplementedError(
-        "delegate to the offline CadQuery pipeline "
-        "(reference src/geom/coupling.py:8-99)"
+def generate_coupling_geometry(start_pt, direction, r_start, r_end,
+                               length_ratio=1.0):
+    """Native coupling-cone description (reference
+    src/geom/coupling.py:8-99 builds the equivalent OCC loft): a
+    truncated cone from r_start to r_end along `direction`, length
+    L = |r_start - r_end| * length_ratio. Returns the (p0, p1, r0, r1)
+    segment plus its two end planes — directly consumable by
+    implicit3d.mesh_implicit_union / geom/merged3d."""
+    p0 = np.asarray(start_pt, dtype=float)
+    d = np.asarray(direction, dtype=float)
+    d = d / max(np.linalg.norm(d), 1e-30)
+    L = abs(float(r_start) - float(r_end)) * float(length_ratio)
+    p1 = p0 + L * d
+    return {
+        "segment": (p0, p1, float(r_start), float(r_end)),
+        "inlet_end": (p0, -d),
+        "outlet_end": (p1, d),
+        "length": L,
+    }
+
+
+def mesh_coupling(start_pt, direction, r_start, r_end,
+                  length_ratio=1.0, h=None, dtype=np.float64):
+    """Tet-mesh a standalone coupling cone natively (the reference's
+    mesh_coupling at src/geom/coupling.py:102-183 runs gmsh on the OCC
+    solid; here the cone is an implicit tapered capsule clipped by its
+    two end planes). h defaults to min radius / 3."""
+    from .implicit3d import mesh_implicit_union
+
+    geo = generate_coupling_geometry(
+        start_pt, direction, r_start, r_end, length_ratio
     )
-
-
-def mesh_coupling(*args, **kwargs):
-    generate_coupling_geometry()
+    if h is None:
+        h = min(float(r_start), float(r_end)) / 3.0
+    return mesh_implicit_union(
+        [geo["segment"]], h=h,
+        inlet_end=geo["inlet_end"],
+        outlet_ends=[geo["outlet_end"]],
+        dtype=dtype,
+    )

@@ -118,3 +118,20 @@ def test_junction_blend_adds_fillet_material():
     assert vol(m_soft) > vol(m_hard)
     tags = set(np.asarray(m_soft.facet_tags).tolist())
     assert {1, 2, 4}.issubset(tags)  # inlet + both outlet markers
+
+
+def test_native_coupling_cone_mesh():
+    """mesh_coupling now meshes the truncated coupling cone natively
+    (implicit tapered capsule + end-plane clips; the reference meshes an
+    OCC loft with gmsh, src/geom/coupling.py:102-183)."""
+    import numpy as np
+
+    from cfdtpu.geom.coupling import generate_coupling_geometry, mesh_coupling
+
+    geo = generate_coupling_geometry([0, 0, 0], [1, 0, 0], 1.5, 1.0,
+                                     length_ratio=3.0)
+    assert np.isclose(geo["length"], 1.5)  # |1.5-1.0| * 3
+    m = mesh_coupling([0, 0, 0], [1, 0.3, 0], 1.5, 1.0, length_ratio=3.0)
+    assert m.num_cells > 100
+    tags = set(np.asarray(m.facet_tags).tolist())
+    assert {1, 2, 3}.issubset(tags)  # inlet, outlet, wall
