@@ -58,6 +58,14 @@ run_bench k4_ch2p2  BENCH_PC_LAG_STEPS=4 BENCH_AMG_CHEBY=2 BENCH_PC_INNER_P=2
 run_bench k4_low    BENCH_PC_LAG_STEPS=4 BENCH_SCHUR_FACT=lower
 # g=8 supernodes: half the gathers, ~1.8x the value bytes (PERF lever b)
 run_bench k4_g8     BENCH_PC_LAG_STEPS=4 BENCH_SUPERNODE_G=8
+# Eisenstat-Walker adaptive Krylov tolerances
+run_bench k4_ew     BENCH_PC_LAG_STEPS=4 BENCH_EW=1
+# combined-lever candidates (CPU evidence: p=5 cuts outer its ~35%;
+# lower-fact halves u-solves per apply; bf16 halves PC bytes)
+run_bench k4_p5_low      BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=5 BENCH_SCHUR_FACT=lower
+run_bench k4_p5_bf16     BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=5 BENCH_PC_DTYPE=bf16
+run_bench k4_p5_low_bf16 BENCH_PC_LAG_STEPS=4 BENCH_PC_INNER_P=5 BENCH_SCHUR_FACT=lower BENCH_PC_DTYPE=bf16
+run_bench k8_p5_low_bf16 BENCH_PC_LAG_STEPS=8 BENCH_STEPS=8 BENCH_PC_INNER_P=5 BENCH_SCHUR_FACT=lower BENCH_PC_DTYPE=bf16
 
 # -- stage 2: size ladder ---------------------------------------------
 run_bench k4_330k   BENCH_PC_LAG_STEPS=4 BENCH_RES_SCALE=0.17
