@@ -175,12 +175,50 @@ def _bench_spmv(reps: int):
     return label, nbytes / elapsed / 1e9, "GB/s"
 
 
+def _wait_tpu_healthy(budget_s: float) -> None:
+    """The axon TPU worker kernel-faults under load and every device op
+    then hangs for minutes until it self-recovers (PERF.md round-2
+    note). Probe with a tiny matmul in a SUBPROCESS (isolated client,
+    can't wedge this process) and wait out a recovery window before
+    committing to the big compile. No-op on the CPU backend."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "assert float((jnp.ones((128,128))@jnp.ones((128,128))).sum())"
+        " == 128.0**3"
+    )
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=120,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > budget_s:
+            print(
+                "bench: TPU worker unhealthy after "
+                f"{int(time.time() - t0)}s of probing; proceeding "
+                "(watchdog will cap the run)",
+                file=sys.stderr, flush=True,
+            )
+            return
+        time.sleep(60)
+
+
 def main():
     # 4 timed steps so the window spans exactly one operator/PC rebuild
     # at the default pc_lag_steps=4 (warmup is step 0, a build step;
     # timed steps 1-4 contain the step-4 rebuild — honest amortization)
     steps = int(os.environ.get("BENCH_STEPS", "4"))
     scenario = os.environ.get("BENCH_SCENARIO", "dfg")
+    _wait_tpu_healthy(float(os.environ.get("BENCH_PROBE_BUDGET", "900")))
     # watchdog: the axon TPU worker can crash and leave every device
     # computation hanging indefinitely; always emit the JSON line
     import signal
