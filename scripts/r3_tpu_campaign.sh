@@ -87,7 +87,7 @@ say "campaign stages 1-2 complete; see $LOG"
 # with the round-3 PC a 200-step dt=0.05 march is both Newton-safe and
 # cheaper wall-clock. No pc_lag_steps / snes_lag_jacobian for the same
 # reason (chord on a stale Jacobian stalls in marches).
-TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":3,"pc_ras_size":32'
+TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
 if [ "${R3_LONG:-0}" = "1" ]; then
   run_acc() {  # name res_scale extra_json
     name=$1; res=$2; extra=$3
