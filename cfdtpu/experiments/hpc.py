@@ -69,6 +69,18 @@ def _submit(cmd: list[str], dry_run: bool) -> str | None:
         if line.startswith("Submitted batch job"):
             job_id = line.split()[-1]
             break
+    if job_id is None:
+        # sbatch --parsable / site wrappers print the bare id (possibly
+        # "id;cluster") instead of the sentence — fall back to the last
+        # token so afterok chains are never silently dropped
+        tail = out.strip().split()
+        if tail and tail[-1].split(";")[0].isdigit():
+            job_id = tail[-1].split(";")[0]
+    if job_id is None:
+        raise RuntimeError(
+            f"could not parse a job id from sbatch output: {out!r} — "
+            "dependency chaining would be silently broken"
+        )
     print(f"[HPC] submitted job {job_id}")
     return job_id
 
@@ -115,6 +127,27 @@ def _watch_job(job_id: str, dry_run: bool) -> None:
           f"(attach: tmux attach -t {session})")
 
 
+def _filter_tree_args(unknown: list[str]) -> list[str]:
+    """Keep only `main.py tree` flags (--config/--output/--bind/
+    --perf_point) from a simulate passthrough list."""
+    keep: list[str] = []
+    i = 0
+    nvals = {"--config": 1, "--output": 1, "--bind": 0, "--perf_point": 3}
+    while i < len(unknown):
+        tok = unknown[i]
+        flag = tok.split("=", 1)[0]
+        if flag in nvals:
+            if "=" in tok:
+                keep.append(tok)
+                i += 1
+            else:
+                keep.extend(unknown[i: i + 1 + nvals[flag]])
+                i += 1 + nvals[flag]
+        else:
+            i += 1
+    return keep
+
+
 def _mesh_stages(args, config) -> list[str]:
     mode = getattr(args, "meshing_mode", None) or "geometry"
     if mode != "all":
@@ -157,7 +190,11 @@ def dispatch_hpc(args, unknown) -> int:
         # tree scenarios get a bare-metal VascuSynth pre-job chained
         # with afterok (reference hpc.py:588-615)
         if args.simulation in SCENARIOS_WITH_TREE:
-            pre_body = f"{py} main.py tree {passthrough}"
+            # forward only tree-subcommand flags from the simulate
+            # passthrough: any simulate-specific extra (e.g. a solver
+            # kwarg) would make the pre-job die at argparse time
+            tree_args = _filter_tree_args(unknown)
+            pre_body = f"{py} main.py tree {' '.join(tree_args)}".rstrip()
             pre_script = _write_job_script(
                 workdir / "vascusynth_pretree.sh", pre_body,
             )

@@ -266,12 +266,17 @@ class Scenario(ABC):
             i += 1
             t += self.dt
             st = getattr(solver, "last_stats", {})
-            stats_log.write(
-                f"{i} {t:.6f} {_wall:.4f} "
-                f"{st.get('newton_iters', 0)} {st.get('ksp_iters', 0)} "
-                f"{st.get('fnorm', float('nan'))}\n"
-            )
-            if monitor and main:
+            if not st.get("skipped"):
+                # unfetched steps (stats_every > 1) carry no numbers —
+                # suppress the row rather than corrupt the series with
+                # zeros/NaNs that the campaign/--monitor tooling reads
+                stats_log.write(
+                    f"{i} {t:.6f} {_wall:.4f} "
+                    f"{st.get('newton_iters', 0)} "
+                    f"{st.get('ksp_iters', 0)} "
+                    f"{st.get('fnorm', float('nan'))}\n"
+                )
+            if monitor and main and not st.get("skipped"):
                 print(
                     f"  [monitor] step {i} t={t:.4f} "
                     f"wall={_wall:.2f}s "

@@ -746,6 +746,8 @@ class Solver(SolverBase):
             # the axon relay each individual .item() costs a full ~52 ms
             # roundtrip (PERF.md readback note); between fetches the
             # host never blocks, so steps pipeline on the dispatch queue
+            win_conv = getattr(self, "_win_converged", None)
+            self._win_converged = None
             stats = jax.device_get(stats)
             converged = bool(stats["converged"])
             if not converged and not getattr(
@@ -765,6 +767,21 @@ class Solver(SolverBase):
                 k: (v.item() if hasattr(v, "item") else v)
                 for k, v in stats.items()
             }
+            # AND-reduction of the skipped steps' converged flags
+            # (accumulated on device, fetched only now): an unconverged
+            # step inside the window committed a bad state to
+            # u_prev/p_prev, and the next checked step can re-converge
+            # from it — without this check the failure would be silently
+            # absorbed into the trajectory.
+            if win_conv is not None and not bool(
+                jax.device_get(win_conv)
+            ):
+                raise RuntimeError(
+                    "An unfetched step inside the last stats_every="
+                    f"{self.stats_every} window did not converge "
+                    "(detected at the window fetch; rerun with "
+                    "stats_every=1 to locate the step)."
+                )
             if not converged:
                 raise RuntimeError(
                     f"Did not converge, reason: newton_iters="
@@ -779,7 +796,14 @@ class Solver(SolverBase):
                 f" {self.last_stats['ksp_iters']} linear iterations)"
             )
         else:
-            self.last_stats = {}
+            # stay async: accumulate the converged flag on device; the
+            # host fetches the AND at the next checked step
+            acc = getattr(self, "_win_converged", None)
+            flag = stats["converged"]
+            self._win_converged = (
+                flag if acc is None else jnp.logical_and(acc, flag)
+            )
+            self.last_stats = {"skipped": True}
         self.u_sol, self.p_sol = u, p
         self.u_residual, self.p_residual = r_u, r_p
         self._post_step()

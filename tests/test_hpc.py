@@ -129,3 +129,45 @@ def test_simulate_plain_no_dependency(capsys):
 def test_remap_no_match_is_identity(monkeypatch):
     monkeypatch.setenv("CFDTPU_HPC_DATA", "/host/data")
     assert hpc.remap_to_container("/scratch/x") == "/scratch/x"
+
+
+def test_submit_parsable_fallback(monkeypatch):
+    """Site wrappers / SBATCH --parsable print a bare id instead of the
+    'Submitted batch job N' sentence; the id must still be recovered so
+    afterok chains aren't silently dropped."""
+    import subprocess as sp
+
+    monkeypatch.setattr(
+        sp, "check_output", lambda cmd, text: "12345;cluster\n"
+    )
+    assert hpc._submit(["sbatch", "x.sh"], dry_run=False) == "12345"
+    monkeypatch.setattr(
+        sp, "check_output", lambda cmd, text: "Submitted batch job 99\n"
+    )
+    assert hpc._submit(["sbatch", "x.sh"], dry_run=False) == "99"
+    monkeypatch.setattr(
+        sp, "check_output", lambda cmd, text: "weird output\n"
+    )
+    with pytest.raises(RuntimeError, match="job id"):
+        hpc._submit(["sbatch", "x.sh"], dry_run=False)
+
+
+def test_tree_prejob_filters_simulate_flags(capsys):
+    """Simulate-specific passthrough flags (solver kwargs) must NOT be
+    forwarded to the tree pre-job — it would die at argparse time."""
+    args = _args(command="simulate", simulation="stenosis_with_tree",
+                 solver="stabilized_schur", T=0.1, dt=0.01,
+                 name="run", output_dir="results")
+    hpc.dispatch_hpc(args, [
+        "--snes_rtol", "1e-6", "--config", "cfg.yaml",
+        "--output", "tree.msh", "--perf_point", "1", "2", "3",
+    ])
+    capsys.readouterr()
+    body = (
+        __import__("pathlib").Path("hpc_jobs/vascusynth_pretree.sh")
+        .read_text()
+    )
+    assert "--config cfg.yaml" in body
+    assert "--output tree.msh" in body
+    assert "--perf_point 1 2 3" in body
+    assert "--snes_rtol" not in body

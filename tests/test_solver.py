@@ -258,3 +258,34 @@ def test_ghia_re400_profile():
 
     err = run(400, nx=32, dt=0.5, n_steps=60, quiet=True)
     assert err < 0.07
+
+
+def test_stats_window_catches_skipped_nonconvergence(tmp_path):
+    """With stats_every > 1 an unconverged step inside the unfetched
+    window must still raise at the next fetch — otherwise the bad state
+    is committed to u_prev and silently absorbed into the trajectory
+    (the next checked step can re-converge from it)."""
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.05, mu=0.01, nx=8,
+        stats_every=2, snes_rtol=1e-14, snes_atol=1e-30, snes_max_it=1,
+    )
+    with pytest.raises(RuntimeError, match="unfetched|converge"):
+        sc.solve(str(tmp_path))
+
+
+def test_stats_skipped_marker(tmp_path):
+    """Unfetched steps must expose a 'skipped' marker (not fabricated
+    zero/NaN stats) so solver_stats.txt rows stay truthful."""
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.04, mu=0.01, nx=8,
+        stats_every=2,
+    )
+    sc.solve(str(tmp_path))
+    # 4 steps, stats fetched on even steps only
+    assert sc.solver.last_stats["converged"]
+    rows = [
+        l for l in (tmp_path / "solver_stats.txt").read_text().splitlines()
+        if l and not l.startswith("#")
+    ]
+    steps = [int(r.split()[0]) for r in rows]
+    assert steps == [2, 4]  # skipped steps write no row
