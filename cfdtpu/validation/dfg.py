@@ -87,17 +87,26 @@ def featflow_data_path(name: str) -> str:
     )
 
 
-def featflow_reference_stats(level: int = 3, dt_idx: int = 3) -> dict:
-    """Summary statistics of a shipped FEATFLOW bdforces series:
-    cd_min/max/mean, cl_min/max and the lift-based Strouhal number
-    St = f L / U_mean (L = 0.1, U_mean = 1.0 for 2D-2)."""
-    d = load_featflow_series(
-        featflow_data_path(f"bdforces_q2_lv{level}_dt{dt_idx}")
-    )
-    t, cd, cl = d[:, 1], d[:, 3], d[:, 4]
-    # lift zero crossings (rising) give the shedding period
+def dfg_2d2_series_stats(
+    t: np.ndarray, cd: np.ndarray, cl: np.ndarray,
+    n_periods: int | None = None,
+) -> dict:
+    """Summary statistics of a DFG 2D-2 force series: cd/cl extrema and
+    the lift-based Strouhal number St = f L / U_mean (L = 0.1,
+    U_mean = 1.0 for 2D-2). The shedding period comes from rising lift
+    zero crossings; with n_periods given, extrema and St are evaluated
+    over only the LAST n shedding periods — a developed-regime window
+    that excludes the impulsive-start transient our runs (and the
+    FEATFLOW series' first cycles) contain."""
+    t = np.asarray(t, float)
+    cd = np.asarray(cd, float)
+    cl = np.asarray(cl, float)
     s = np.where((cl[:-1] < 0) & (cl[1:] >= 0))[0]
     st = np.nan
+    if n_periods is not None and len(s) >= n_periods + 1:
+        i0 = s[-(n_periods + 1)]
+        t, cd, cl = t[i0:], cd[i0:], cl[i0:]
+        s = s[-(n_periods + 1):] - i0
     if len(s) >= 2:
         period = (t[s[-1]] - t[s[0]]) / (len(s) - 1)
         st = 0.1 * 1.0 / period  # f * L / U_mean
@@ -106,4 +115,35 @@ def featflow_reference_stats(level: int = 3, dt_idx: int = 3) -> dict:
         "cd_mean": float(cd.mean()),
         "cl_min": float(cl.min()), "cl_max": float(cl.max()),
         "strouhal": float(st), "t_range": (float(t[0]), float(t[-1])),
+        "n_crossings": int(len(s)),
     }
+
+
+def check_dfg_2d2(stats: dict) -> dict:
+    """Classify a 2D-2 series-stats dict against the published
+    intervals (same shape as check_dfg_2d1's output)."""
+    out = {}
+    for name in ("cd_max", "cl_max", "strouhal"):
+        lo, hi = DFG_2D2_INTERVALS[name]
+        mid = 0.5 * (lo + hi)
+        val = stats[name]
+        out[name] = {
+            "value": val,
+            "interval": (lo, hi),
+            "inside": lo <= val <= hi,
+            "rel_err": abs(val - mid) / abs(mid),
+        }
+    return out
+
+
+def featflow_reference_stats(
+    level: int = 3, dt_idx: int = 3, n_periods: int | None = None,
+) -> dict:
+    """Series stats of a shipped FEATFLOW bdforces file (columns:
+    timestep time bdc cD cL)."""
+    d = load_featflow_series(
+        featflow_data_path(f"bdforces_q2_lv{level}_dt{dt_idx}")
+    )
+    return dfg_2d2_series_stats(
+        d[:, 1], d[:, 3], d[:, 4], n_periods=n_periods
+    )

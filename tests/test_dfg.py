@@ -108,3 +108,34 @@ def test_pipe_cylinder_2d2_records_forces(tmp_path):
     assert np.isfinite(rows).all()
     data = np.loadtxt(f"{out}/bdforces.txt")
     assert data.shape == rows.shape
+
+
+def test_dfg_2d2_series_stats_reproduces_featflow():
+    """The series-stats helper must reproduce the known quantities of
+    the shipped FEATFLOW oracles (reference consumes the same files:
+    src/benchmark_data/pipe_cylinder/bdforces_q2_lv*_dt3). Facts pinned:
+    St is inside the published [0.295, 0.305] from level 3 up; cd_max /
+    cl_max increase monotonically with mesh level toward the published
+    intervals (established at finer levels than the shipped subset)."""
+    from cfdtpu.validation.dfg import (
+        DFG_2D2_INTERVALS, check_dfg_2d2, featflow_reference_stats,
+    )
+
+    stats = {lv: featflow_reference_stats(level=lv, n_periods=5)
+             for lv in (2, 3, 4)}
+    # developed-regime window: last 5 shedding periods, all late-time
+    for lv in (2, 3, 4):
+        assert stats[lv]["t_range"][0] > 5.0
+        assert stats[lv]["n_crossings"] == 6
+    # pinned values for the lv3 series (regression anchors)
+    assert abs(stats[3]["strouhal"] - 0.3021) < 5e-4
+    assert abs(stats[3]["cd_max"] - 3.1625) < 2e-3
+    assert abs(stats[3]["cl_max"] - 0.9795) < 2e-3
+    for lv in (3, 4):
+        chk = check_dfg_2d2(stats[lv])
+        assert chk["strouhal"]["inside"], stats[lv]
+    # mesh convergence toward the published intervals
+    assert stats[2]["cd_max"] < stats[3]["cd_max"] < stats[4]["cd_max"]
+    assert stats[2]["cl_max"] < stats[3]["cl_max"] < stats[4]["cl_max"]
+    lo, _ = DFG_2D2_INTERVALS["cd_max"]
+    assert stats[4]["cd_max"] < lo + 0.03  # lv4 approaches the band
