@@ -35,9 +35,35 @@ class VascularTree2D:
         self._next_id += 1
         return nid
 
+    def _grow_segment(self, start_id, radius, heading_deg):
+        """Append one vessel segment of length length_ratio*radius from
+        an existing node along `heading_deg`; returns the new end node."""
+        th = np.radians(heading_deg)
+        end = self._new_id()
+        self.nodes[end] = self.nodes[start_id] + (
+            self.length_ratio * radius * np.array([np.cos(th), np.sin(th)])
+        )
+        return end
+
+    def _murray_radii(self, r_parent: float):
+        """Daughter radii under Murray's law r_p^g = r_l^g + r_r^g with
+        the flow split Q_l/Q_r = a/(1-a) mapped to radii through the
+        2D Poiseuille closure Q ~ r^4/L and L ~ r (so Q ~ r^3):
+        r_l/r_r = (a/(1-a))^(1/3)."""
+        a, g = self.asymmetry, self.gamma
+        rho = (a / (1.0 - a)) ** (1.0 / 3.0)
+        # substitute r_r = r_l/rho into Murray's law and solve for r_l
+        r_l = r_parent / (1.0 + rho ** (-g)) ** (1.0 / g)
+        return r_l, r_l / rho
+
     def generate(self, origin, direction: float = 0.0):
         """Build the tree from `origin` heading `direction` degrees
-        (0 = +x); origin is typically the stenosis outlet center."""
+        (0 = +x); origin is typically the stenosis outlet center.
+
+        Iterative frontier walk: each frontier entry is an open vessel
+        end (node id, lumen radius, heading, depth); every sweep either
+        splits it into two Murray daughters or, past the generation
+        budget, retires it as a terminal."""
         self.nodes.clear()
         self.edges.clear()
         self.terminals.clear()
@@ -45,53 +71,34 @@ class VascularTree2D:
 
         root_start = self._new_id()
         self.nodes[root_start] = np.asarray(origin, dtype=float)
-        root_end = self._new_id()
-        theta = np.radians(direction)
-        self.nodes[root_end] = self.nodes[root_start] + (
-            self.length_ratio * self.r_root
-            * np.array([np.cos(theta), np.sin(theta)])
-        )
+        root_end = self._grow_segment(root_start, self.r_root, direction)
         self.edges.append({
             "from": root_start, "to": root_end,
             "radius": self.r_root, "r_parent": self.r_root,
             "generation": 0,
         })
-        self._bifurcate(root_end, self.r_root, direction, generation=1)
+
+        frontier = [(root_end, self.r_root, direction, 1)]
+        while frontier:
+            node, r_p, heading, depth = frontier.pop()
+            if depth > self.n_generations:
+                self.terminals.append(node)
+                continue
+            r_l, r_r = self._murray_radii(r_p)
+            # Deflection is weighted by the SIBLING's relative radius:
+            # the small daughter carries little flow, so the bulk stream
+            # (and the larger daughter) stays nearer the parent axis
+            # while the small one swings wide.
+            for r_c, sib in ((r_l, r_r), (r_r, -r_l)):
+                ang = heading + self.bifurcation_angle * (sib / r_p)
+                child = self._grow_segment(node, r_c, ang)
+                self.edges.append({
+                    "from": node, "to": child,
+                    "radius": r_c, "r_parent": r_p,
+                    "generation": depth,
+                })
+                frontier.append((child, r_c, ang, depth + 1))
         return self
-
-    def _child_radii(self, r_parent: float):
-        a, g = self.asymmetry, self.gamma
-        ratio = (a / (1.0 - a)) ** (1.0 / 3.0)  # r_left / r_right
-        r_left = r_parent * (1.0 + ratio ** (-g)) ** (-1.0 / g)
-        return r_left, r_left / ratio
-
-    def _bifurcate(self, parent_node, r_parent, parent_angle, generation):
-        if generation > self.n_generations:
-            self.terminals.append(parent_node)
-            return
-        r_left, r_right = self._child_radii(r_parent)
-        # thinner branch deflects more (momentum-ish balance)
-        angle_left = parent_angle + self.bifurcation_angle * (
-            r_right / r_parent
-        )
-        angle_right = parent_angle - self.bifurcation_angle * (
-            r_left / r_parent
-        )
-        for r_child, angle in (
-            (r_left, angle_left), (r_right, angle_right)
-        ):
-            theta = np.radians(angle)
-            child = self._new_id()
-            self.nodes[child] = self.nodes[parent_node] + (
-                self.length_ratio * r_child
-                * np.array([np.cos(theta), np.sin(theta)])
-            )
-            self.edges.append({
-                "from": parent_node, "to": child,
-                "radius": r_child, "r_parent": r_parent,
-                "generation": generation,
-            })
-            self._bifurcate(child, r_child, angle, generation + 1)
 
     @property
     def bifurcation_points(self):
