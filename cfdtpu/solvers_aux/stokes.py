@@ -36,11 +36,9 @@ def solve_stokes(
     """Solve stationary Stokes with Dirichlet velocity BCs.
 
     bcu: list of BoundaryCondition. Returns (u (n_u, d), p (n_p,), V, Q).
-    3D meshes fall back to P2/P1 (degree-3 dofmaps on tets are not yet
-    supported).
+    Runs true P3/P2 in 3D too (tet face-interior dofs landed in round 4;
+    parity with /root/reference/src/solvers_aux/stokes.py:52-75).
     """
-    if mesh.dim == 3 and degree_u > 2:
-        degree_u, degree_p = 2, 1
     V = FunctionSpace(mesh, degree_u, mesh.gdim)
     Q = FunctionSpace(mesh, degree_p, 1)
     dtype = mesh.points.dtype

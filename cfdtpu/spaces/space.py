@@ -93,11 +93,53 @@ class FunctionSpace:
         else:
             self.num_edges = 0
 
-        # face dofs (3D) — only k <= 2 supported for now (no face interiors)
+        # face-interior dofs (3D, k >= 3). Two cells sharing a face must
+        # hand out the same global dof for the same physical lattice
+        # point even though their local vertex orders differ — so the
+        # global within-face ordering is defined canonically wrt the
+        # face's ASCENDING vertex ids, and each cell maps its local
+        # lattice index through the exact integer-barycentric
+        # permutation (no floating-point coordinate matching).
         if mesh.dim == 3 and k >= 3:
-            raise NotImplementedError(
-                "degree >= 3 on 3D cells (face-interior dofs) not yet supported"
+            facets_local = cell_facets(mesh.cell_type)
+            if any(len(f) != 3 for f in facets_local):
+                raise NotImplementedError(
+                    "degree >= 3 face-interior dofs on hexahedra "
+                    "not yet supported (tensor-face orientation)"
+                )
+            nf = len(facets_local)
+            cell_face_verts = np.stack(
+                [cells[:, list(f)] for f in facets_local], axis=1
+            )  # (nc, nf, 3) global vertex ids in LOCAL face order
+            keys = np.sort(cell_face_verts.reshape(-1, 3), axis=1)
+            uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+            face_ids = inv.reshape(nc, nf)
+            # local lattice enumeration (matches elements._face_interior):
+            # i in [1, k), j in [1, k-i) -> integer barycentrics
+            # (k-i-j, i, j) wrt the face's vertex triple
+            bary = np.array(
+                [(k - i - j, i, j)
+                 for i in range(1, k) for j in range(1, k - i)],
+                dtype=np.int64,
             )
+            n_face_dofs = len(bary)
+            canon_lut = np.full((k, k), -1, dtype=np.int64)
+            for idx, (_, b1, b2) in enumerate(bary):
+                canon_lut[b1, b2] = idx
+            for fi in range(nf):
+                local = el.entity_dofs[2][fi]
+                # order[c, m] = which LOCAL vertex is the m-th smallest
+                # global id: canonical barycentric = local bary[order]
+                order = np.argsort(cell_face_verts[:, fi, :], axis=1)
+                base = offset + face_ids[:, fi] * n_face_dofs
+                for j, ld in enumerate(local):
+                    c = bary[j][order]  # (nc, 3) canonical barycentrics
+                    jj = canon_lut[c[:, 1], c[:, 2]]
+                    dofmap[:, ld] = base + jj
+            offset += len(uniq) * n_face_dofs
+            self.num_faces = len(uniq)
+        else:
+            self.num_faces = 0
 
         # cell-interior dofs
         interior = el.entity_dofs[mesh.dim][0] if mesh.dim >= 2 else []

@@ -124,3 +124,56 @@ def test_hex_mesh():
     assert m.num_cells == 16
     fq = FacetQuadrature(m, np.arange(len(m.facets)), 3)
     assert np.isclose(fq.facet_measure().sum(), 2 * 1 + 4 * 2)
+
+
+@pytest.mark.parametrize("deg", [3, 4])
+def test_3d_high_degree_dof_counts(deg):
+    """Tet face-interior dofs (k >= 3): the entity sum must close, and
+    on a structured cube the total must equal the tensor lattice count
+    ((n*deg+1)^3) — a strong global check of the shared-face numbering."""
+    n = 3 if deg == 3 else 2
+    m = create_unit_cube(n, n, n)
+    V = FunctionSpace(m, deg)
+    n_e = deg - 1
+    n_f = (deg - 1) * (deg - 2) // 2
+    n_i = max(0, (deg - 1) * (deg - 2) * (deg - 3) // 6)
+    assert V.num_dofs == (
+        m.num_points + n_e * V.num_edges + n_f * V.num_faces
+        + n_i * m.num_cells
+    )
+    assert V.num_dofs == (n * deg + 1) ** 3
+
+
+@pytest.mark.parametrize("deg", [3, 4])
+def test_3d_high_degree_interpolation_exact(deg):
+    """Degree-k interpolation must be exact for degree-k polynomials —
+    this fails if two cells disagree on a shared face dof's identity or
+    lattice position (the orientation permutation)."""
+    m = create_unit_cube(2, 2, 2)
+    V = FunctionSpace(m, deg)
+    f = lambda x: x[0] ** deg + 2 * x[1] ** (deg - 1) * x[2] - x[0] * x[1]
+    vals = V.interpolate(f)
+    pts = np.array([[0.3, 0.2, 0.1], [0.1, 0.55, 0.2]])
+    (phi,) = V.element.tabulate(pts, nderiv=0)
+    for c in range(m.num_cells):
+        verts = m.points[m.cells[c]]
+        for pi, p in enumerate(pts):
+            x = verts[0] + (verts[1:4] - verts[0]).T @ p
+            uh = phi[pi] @ vals[V.dofmap[c]]
+            assert abs(uh - f(x)) < 1e-9
+
+
+def test_3d_face_dof_coords_consistent():
+    """Every P3 face dof gets one coordinate regardless of which
+    neighbour wrote it (barycentric symmetry of the numbering)."""
+    from cfdtpu.elements import LagrangeElement
+
+    m = create_unit_cube(3, 3, 3)
+    V = FunctionSpace(m, 3)
+    geom = LagrangeElement.create(m.cell_type, 1)
+    (N,) = geom.tabulate(V.element.nodes, nderiv=0)
+    coords = np.einsum("bv,cvg->cbg", N, m.points[m.cells])
+    err = np.abs(
+        V.dof_coords[V.dofmap.reshape(-1)] - coords.reshape(-1, 3)
+    ).max()
+    assert err < 1e-12

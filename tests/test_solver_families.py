@@ -281,3 +281,38 @@ def test_pc_lag_steps_matches_default(tmp_path):
         np.linalg.norm(p_ref), 1e-30
     )
     assert rel_p < 5e-3
+
+
+def test_aux_stokes_3d_p3p2_exact():
+    """True P3/P2 Taylor-Hood in 3D (reference parity:
+    src/solvers_aux/stokes.py:52-75 — previously fell back to P2/P1).
+    u = (y^2, 0, 0), p = 2 mu x is an exact Stokes solution the P3/P2
+    pair represents exactly, so the discrete solve must reproduce it to
+    solver tolerance."""
+    from cfdtpu.mesh import create_unit_cube
+    from cfdtpu.solvers_aux.stokes import solve_stokes
+
+    mesh = create_unit_cube(2, 2, 2)
+    bc = BoundaryCondition(
+        lambda x: np.vstack(
+            [x[1] ** 2, np.zeros(x.shape[1]), np.zeros(x.shape[1])]
+        )
+    )
+    bc.initGeometrical(
+        lambda x: np.isclose(x[0], 0) | np.isclose(x[0], 1)
+        | np.isclose(x[1], 0) | np.isclose(x[1], 1)
+        | np.isclose(x[2], 0) | np.isclose(x[2], 1)
+    )
+    u, p, V, Q = solve_stokes(mesh, mu=1.0, bcu=[bc], rtol=1e-10)
+    assert V.degree == 3 and Q.degree == 2
+    u = np.asarray(u)
+    u_exact = np.stack(
+        [V.dof_coords[:, 1] ** 2, np.zeros(V.num_dofs),
+         np.zeros(V.num_dofs)], axis=1,
+    )
+    assert np.abs(u - u_exact).max() < 1e-6
+    # pressure: linear in x up to its arbitrary constant
+    p = np.asarray(p)
+    p_exact = 2.0 * np.asarray(Q.dof_coords[:, 0])
+    p_exact -= p_exact.mean()
+    assert np.abs(p - (p - p_exact).mean() - p_exact).max() < 1e-5
