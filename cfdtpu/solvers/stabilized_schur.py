@@ -724,7 +724,9 @@ class Solver(SolverBase):
                 self._op_state is None
                 or self.step_count % self.pc_lag_steps == 0
                 or getattr(self, "_op_state_dt", None) != dt_now
+                or getattr(self, "_rebuild_hint", False)
             ):
+                self._rebuild_hint = False
                 self._op_state = self._build_op_state(
                     u_guess, p_guess, self._aux(), prm
                 )
@@ -737,6 +739,32 @@ class Solver(SolverBase):
         return self._step(
             u_guess, p_guess, self._aux(), bc_u_vals, bc_p_vals, prm,
         )
+
+    def _note_newton_iters(self, iters: int) -> None:
+        # Convergence-aware PC lag: track Newton iteration counts on
+        # checked steps and request an early operator/PC rebuild when
+        # the count spikes above 2x the rolling median (min +2 so tiny
+        # medians like 1 don't trip on 1->3 noise). A spike means the
+        # carried K-stale Jacobian/PC has drifted too far from the
+        # current state (typical on steady marches, where the chord
+        # Newton otherwise stalls — PERF.md round-3: "100 its, rtol
+        # never hit"), so rebuilding NOW is cheaper than waiting for
+        # the fixed pc_lag_steps period or the self-heal retry.
+        if getattr(self, "_reuse_step", None) is None:
+            return
+        hist = getattr(self, "_newton_hist", None)
+        if hist is None:
+            hist = self._newton_hist = []
+        if len(hist) >= 3:
+            med = sorted(hist)[len(hist) // 2]
+            if iters > max(2 * med, med + 2):
+                self._rebuild_hint = True
+                # don't let the spike poison the median window
+                hist.clear()
+                return
+        hist.append(iters)
+        if len(hist) > 8:
+            hist.pop(0)
 
     def solveStep(self) -> None:
         bc_u_vals, bc_p_vals = self._bc_values()
@@ -794,6 +822,9 @@ class Solver(SolverBase):
                 f" {self.last_stats['newton_iters']} nonlinear"
                 f" iterations (with total number of"
                 f" {self.last_stats['ksp_iters']} linear iterations)"
+            )
+            self._note_newton_iters(
+                int(self.last_stats.get("newton_iters", 0))
             )
         else:
             # stay async: accumulate the converged flag on device; the

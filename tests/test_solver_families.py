@@ -258,6 +258,34 @@ def test_pc_lag_self_heal(tmp_path):
     assert s._op_state_fresh  # the retry rebuilt the carried state
 
 
+def test_pc_lag_spike_rebuild(tmp_path):
+    """Convergence-aware lag: a Newton-iteration spike (> 2x the rolling
+    median of checked steps) must request an early operator/PC rebuild
+    at the NEXT step, instead of waiting out the fixed pc_lag_steps
+    period or relying on the self-heal retry after a failure."""
+    sc = LidDriven2DSimulation(
+        "stabilized_schur", dt=0.01, T=0.02, mu=0.01, nx=10,
+        pc_inner_method="rasamg_sup", pc_inner_u=0, pc_inner_p=3,
+        pc_lag_steps=5,
+    )
+    s = sc.solver
+    s.solveStep()  # step 0: builds the carried state
+    # calm history: no rebuild requested
+    s._newton_hist = [2, 2, 2, 3]
+    s._note_newton_iters(2)
+    assert not getattr(s, "_rebuild_hint", False)
+    # spike: 8 > max(2 * median=2, median + 2) = 4
+    s._note_newton_iters(8)
+    assert s._rebuild_hint
+    assert s._newton_hist == []  # spike must not poison the window
+    # the hint is consumed by the next step, which rebuilds early
+    # (step_count=1, pc_lag_steps=5 — the fixed period alone would not)
+    s.u_prev, s.p_prev = s.u_sol, s.p_sol
+    s.solveStep()
+    assert s._op_state_fresh
+    assert not s._rebuild_hint
+
+
 def test_pc_lag_steps_matches_default(tmp_path):
     """Cross-step operator/PC reuse (pc_lag_steps): the carried-state
     path must converge each step on the fresh residual and land on the
