@@ -135,3 +135,43 @@ def test_native_coupling_cone_mesh():
     assert m.num_cells > 100
     tags = set(np.asarray(m.facet_tags).tolist())
     assert {1, 2, 3}.issubset(tags)  # inlet, outlet, wall
+
+
+def test_stenosis3d_reference_api_native(tmp_path):
+    """generate_stenosis_geometry + mesh_and_export (the reference's
+    CadQuery/gmsh pipeline, src/geom/stenosis/stenosis.py:81,337) run
+    fully natively: parameter validation matches the reference, the
+    mesh carries the INLET/OUTLET/WALL tags, and the exported .msh
+    round-trips through cfdtpu.mesh.read_msh."""
+    import collections
+
+    import numpy as np
+    import pytest
+
+    from cfdtpu.geom.stenosis3d import (
+        generate_stenosis_geometry, mesh_and_export,
+    )
+    from cfdtpu.mesh.msh import read_msh
+
+    g = generate_stenosis_geometry(
+        (0, 0, 0), (8, 0, 0), 1.0, 0.9, 0.5, 0.3, 0.5
+    )
+    # min_radius = (1 - severity) * taper(position)
+    assert np.isclose((1 - g.severity) * 0.95, 0.5)
+    brep = tmp_path / "s.json"
+    msh = tmp_path / "s.msh"
+    m = mesh_and_export(g, str(brep), str(msh),
+                        artery_mesh_size_from_curvature=12)
+    assert m.num_cells > 1000
+    tags = collections.Counter(np.asarray(m.facet_tags).tolist())
+    assert set(tags) >= {1, 2, 3}  # inlet, outlet, wall
+    assert tags[3] > tags[1] > 0 and tags[2] > 0
+    assert read_msh(str(msh)).num_cells == m.num_cells
+    with pytest.raises(ValueError):
+        generate_stenosis_geometry((0, 0, 0), (8, 0, 0), 1.0, 1.2, 0.5, 0.3)
+    with pytest.raises(ValueError):
+        generate_stenosis_geometry((0, 0, 0), (8, 0, 0), 1.0, 0.9, 0.5, 0.9)
+    with pytest.raises(ValueError):
+        generate_stenosis_geometry(
+            (0, 0, 0), (8, 0, 0), 1.0, 0.9, 0.5, 0.3, 1.5
+        )
