@@ -55,10 +55,32 @@ class Solver(SolverBase):
         ksp_rtol: float | None = None,
         ksp_max_it: int = 500,
         n_shards: int | None = None,
+        assembled: bool | str = "auto",
+        momentum_pc: str = "jacobi",
         **kwargs,
     ):
         super().__init__(mesh, dt, rho, mu, f, initial_velocity)
         self.n_shards = int(n_shards) if n_shards else None
+        # assembled=True: since all three step operators are CONSTANT,
+        # assemble them once at setup into node-block layout (reusing
+        # the BlockAMG level-0 placement) instead of re-gathering the
+        # (nbu*d)^2 element matrices every Krylov iteration. Streams
+        # fewer bytes and fewer gather ROWS per apply — a win on the
+        # gather-row-bound TPU backend, but measured ~12x slower per
+        # iteration on CPU (segment-sum layout), so "auto" enables it
+        # only on TPU. The element-streaming path remains the default
+        # elsewhere and for the cell-sharded distribution (n_shards).
+        if assembled == "auto":
+            import jax as _jax
+
+            assembled = _jax.default_backend() == "tpu"
+        self.assembled = bool(assembled)
+        # momentum_pc="amg": precondition step 1 with one BlockAMG
+        # V-cycle on the constant momentum operator (built once). Only
+        # pays off in diffusion-dominated regimes — for typical
+        # mass-dominated dt the default Jacobi converges in comparable
+        # iterations at a fraction of the apply cost.
+        self.momentum_pc = str(momentum_pc)
         from ..utils.dtypes import default_tolerances
 
         self.ksp_rtol = (
@@ -331,11 +353,127 @@ class Solver(SolverBase):
             )
         self._p_amg = AMG(a2_row.astype(np.int32),
                           (puniq % n_p).astype(np.int32), n_p)
-        p_amg_built = self._p_amg.build(a2_coo)
         p_amg = self._p_amg
+        # big constant operator state lives in this dict: the step
+        # closures read it through `self._asm` AT TRACE TIME, so the
+        # const-args wrapper (utils/constargs.py) can swap the arrays
+        # for tracers and keep them out of the serialized HLO (the axon
+        # remote-compile 413 payload limit, PERF.md round-2).
+        self._asm = {"p_built": self._p_amg.build(a2_coo)}
 
         def precond_p(v):
-            return p_amg.v_cycle(p_amg_built, v)
+            return p_amg.v_cycle(self._asm["p_built"], v)
+
+        # -- assembled constant operators (serial path) -------------------
+        use_asm = self.assembled and not self.n_shards
+        if use_asm:
+            from ..la.amg import BlockAMG
+
+            dm_u_np = np.asarray(self.V.dofmap)
+            b_cells_np = np.asarray(self.b_cells)
+            dmb_np = dm_u_np[b_cells_np]
+
+            def pair_keys(dm):
+                r = np.repeat(dm, nbu, axis=1).reshape(-1)
+                c = np.tile(dm, (1, nbu)).reshape(-1)
+                return r.astype(np.int64) * n_u + c.astype(np.int64)
+
+            keys = np.concatenate([pair_keys(dm_u_np), pair_keys(dmb_np)])
+            uniq, uinv = np.unique(keys, return_inverse=True)
+            uorder = np.argsort(uinv, kind="stable")
+            uorder_j = jnp.asarray(uorder.astype(np.int32))
+            uinv_j = jnp.asarray(uinv[uorder].astype(np.int32))
+            n_blk = len(uniq)
+
+            def to_blocks(A):
+                N = A.shape[0]
+                return A.reshape(N, nbu, dim, nbu, dim).transpose(
+                    0, 1, 3, 2, 4
+                ).reshape(N * nbu * nbu, dim, dim)
+
+            def assemble(cell_vals, bnd_vals):
+                cat = jnp.concatenate([to_blocks(cell_vals), bnd_vals])
+                return jax.ops.segment_sum(
+                    cat[uorder_j], uinv_j, num_segments=n_blk,
+                    indices_are_sorted=True,
+                )
+
+            zero_b = jnp.zeros(
+                (dmb_np.shape[0] * nbu * nbu, dim, dim), dtype
+            )
+            blk1 = assemble(A1, to_blocks(A1b))
+            blk3 = assemble(A3, zero_b)
+            self._u_amg = BlockAMG(
+                (uniq // n_u).astype(np.int32),
+                (uniq % n_u).astype(np.int32), n_u, dim,
+            )
+            u_amg = self._u_amg
+            # tiny meshes coarsen to "all-coarse" hierarchies with no
+            # supernode level 0 (just the dense inverse) — fall back to
+            # the element apply for any operator without a level-0
+            # placement
+            if len(u_amg.levels) > 0:
+                self._asm["ev3"] = u_amg._place_block(0, blk3)
+                if self.momentum_pc == "amg":
+                    self._asm["u_built"] = u_amg.build(blk1)
+                    self._asm["ev1"] = self._asm["u_built"][0][0][0]
+                else:
+                    self._asm["ev1"] = u_amg._place_block(0, blk1)
+
+                def mv1_raw(v):
+                    return u_amg._matvec_block(0, self._asm["ev1"], v)
+
+                def mv3_raw(v):
+                    return u_amg._matvec_block(0, self._asm["ev3"], v)
+            else:
+                def mv1_raw(v):
+                    return apply_u(A1, A1b, v)
+
+                def mv3_raw(v):
+                    return apply_u(A3, None, v)
+
+            if len(p_amg.levels) > 0:
+                def mv2_raw(v):
+                    return p_amg._matvec(
+                        0, self._asm["p_built"][0][0][0], v
+                    )
+            else:
+                def mv2_raw(v):
+                    return apply_p(A2, v)
+
+            if self.momentum_pc == "amg" and "u_built" in self._asm:
+                def pc1(v):
+                    # one block-AMG V-cycle on the (constant) momentum
+                    # operator rho/dt M + mu/2 K_sym — hierarchy AND
+                    # values built once at setup, so per-step PC cost is
+                    # zero. The outer mv1 has identity rows on Dirichlet
+                    # dofs, but the hierarchy is built on the
+                    # UNconstrained operator: zero the BC components
+                    # going in and pass them through unchanged coming
+                    # out, so the V-cycle never mixes BC-row residuals
+                    # into interior corrections (a diagonal PC is immune
+                    # to this; a multilevel one is not — seen as
+                    # 99-iteration momentum solves vs the expected ~10).
+                    z = u_amg.v_cycle(
+                        self._asm["u_built"],
+                        jnp.where(bc_mask_u_flat, 0.0, v),
+                    )
+                    return jnp.where(bc_mask_u_flat, v, z)
+            else:
+                def pc1(v):
+                    return v / d1
+        else:
+            def mv1_raw(v):
+                return apply_u(A1, A1b, v)
+
+            def mv3_raw(v):
+                return apply_u(A3, None, v)
+
+            def mv2_raw(v):
+                return apply_p(A2, v)
+
+            def pc1(v):
+                return v / d1
 
         # -- cell sweeps: serial or cell-sharded (n_shards) ---------------
         if self.n_shards:
@@ -442,41 +580,45 @@ class Solver(SolverBase):
                 )(dm_u_s, dm_p_s, cc_s, mask_c, u_star, p_new, p_prev,
                   prm)
         else:
+            # the dofmap/coordinate reads go through `self` so the
+            # const-args wrapper can swap them for tracers (big-mesh
+            # remote compiles)
             def rhs1(u_prev, p_prev, prm):
+                du, dp = self.dofmap_u, self.dofmap_p
                 r0 = jax.vmap(
                     self._r1_kernel, in_axes=(None, 0, 0, 0, None)
-                )(zeros_u, u_prev[dm_u], p_prev[dm_p], cc, prm)
-                return jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r0)
+                )(zeros_u, u_prev[du], p_prev[dp], self.cell_coords, prm)
+                return jnp.zeros((n_u, dim), dtype).at[du].add(-r0)
 
             def rhs2(p_prev, u_star, prm):
+                du, dp = self.dofmap_u, self.dofmap_p
                 r2 = jax.vmap(
                     self._r2_kernel, in_axes=(None, 0, 0, 0, None)
-                )(zeros_p, p_prev[dm_p], u_star[dm_u], cc, prm)
-                return jnp.zeros((n_p,), dtype).at[dm_p].add(-r2)
+                )(zeros_p, p_prev[dp], u_star[du], self.cell_coords, prm)
+                return jnp.zeros((n_p,), dtype).at[dp].add(-r2)
 
             def rhs3(u_star, p_new, p_prev, prm):
+                du, dp = self.dofmap_u, self.dofmap_p
                 r3 = jax.vmap(
                     self._r3_kernel, in_axes=(None, 0, 0, 0, 0, None)
-                )(zeros_u, u_star[dm_u], p_new[dm_p], p_prev[dm_p], cc,
-                  prm)
-                return jnp.zeros((n_u, dim), dtype).at[dm_u].add(-r3)
+                )(zeros_u, u_star[du], p_new[dp], p_prev[dp],
+                  self.cell_coords, prm)
+                return jnp.zeros((n_u, dim), dtype).at[du].add(-r3)
 
         def step(u_prev, p_prev, bc_u_vals, bc_p_vals, prm):
-            up_e = u_prev[dm_u]
-            pp_e = p_prev[dm_p]
-
             # -- step 1: tentative velocity -------------------------------
             b1 = rhs1(u_prev, p_prev, prm)
+            # the ds-term RHS only needs the boundary cells' dofs
             rb0 = jax.vmap(
                 self._r1_boundary_kernel,
                 in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None),
-            )(zeros_u, up_e[self.b_cells_idx], pp_e[self.b_cells_idx],
+            )(zeros_u, u_prev[self._dm_u_b], p_prev[self._dm_p_b],
               *self._bargs_closure, prm)
-            b1 = b1.at[dm_u[self.b_cells_idx2]].add(-rb0)
+            b1 = b1.at[self._dm_u_b].add(-rb0)
             b1f = b1.reshape(-1)
 
             def mv1(v):
-                y = apply_u(A1, A1b, v)
+                y = mv1_raw(v)
                 return jnp.where(bc_mask_u_flat, v, y)
 
             if has_bc_u:
@@ -488,7 +630,7 @@ class Solver(SolverBase):
                 )
             us, info1 = fgmres(
                 mv1, b1f, x0=u_prev.reshape(-1),
-                precond=lambda v: v / d1, restart=30, maxiter=maxiter,
+                precond=pc1, restart=30, maxiter=maxiter,
                 rtol=rtol,
             )
             u_star = us.reshape(n_u, dim)
@@ -497,7 +639,7 @@ class Solver(SolverBase):
             b2 = rhs2(p_prev, u_star, prm)
 
             def mv2(v):
-                y = apply_p(A2, v)
+                y = mv2_raw(v)
                 y = jnp.where(bc_mask_p, v, y)
                 if pin_pressure:
                     y = y - jnp.mean(y)
@@ -521,11 +663,8 @@ class Solver(SolverBase):
             # -- step 3: velocity correction -----------------------------
             b3 = rhs3(u_star, p_new, p_prev, prm).reshape(-1)
 
-            def mv3(v):
-                return apply_u(A3, None, v)
-
             uc, info3 = fgmres(
-                mv3, b3, x0=us, precond=lambda v: v / d3,
+                mv3_raw, b3, x0=us, precond=lambda v: v / d3,
                 restart=30, maxiter=maxiter, rtol=rtol,
             )
             u_new = uc.reshape(n_u, dim)
@@ -538,15 +677,38 @@ class Solver(SolverBase):
             res_p = mv2(p_new) - b2
             return u_new, p_new, res_u, res_p, {
                 "ksp_iters": iters, "converged": ok,
+                "ksp_momentum": info1["iters"],
+                "ksp_poisson": info2["iters"],
+                "ksp_correct": info3["iters"],
             }
 
         # per-facet gathered operands for the boundary rhs kernel
-        self.b_cells_idx = self.b_cells
-        self.b_cells_idx2 = self.b_cells
+        self._dm_u_b = dm_u[self.b_cells]
+        self._dm_p_b = dm_p[self.b_cells]
         self._bargs_closure = bargs
 
         self._step_fn = step
-        self._step = jax.jit(step)
+        import os as _os
+
+        if use_asm and _os.environ.get("CFDTPU_CONST_ARGS", "1") != "0":
+            # pass the assembled operator state (supernode values, AMG
+            # hierarchies, index maps) as jit ARGUMENTS: closed-over
+            # device arrays become HLO constants and blow the axon
+            # remote-compile payload limit past ~400k DOF
+            from ..utils.constargs import make_const_wrapped
+
+            wrapped, consts = make_const_wrapped(
+                step, [self._asm, self._u_amg, self._p_amg, self]
+            )
+            self._jit_consts = consts
+            jit_step = jax.jit(wrapped)
+
+            def step_with_consts(*args):
+                return jit_step(*args, self._jit_consts)
+
+            self._step = step_with_consts
+        else:
+            self._step = jax.jit(step)
 
     # ------------------------------------------------------------------
     def l2_norm_sq(self, fn):
