@@ -4,8 +4,14 @@
 # select the CPU backend (~10x slowdown).
 TEST_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test bench
+.PHONY: test test-full bench
+# fast tier: < 5 min on one core, still touches every solver family /
+# subsystem (one kept representative each — see tests/conftest.py)
 test:
+	$(TEST_ENV) python -m pytest tests/ -x -q -m "not slow"
+
+# everything, ~55 min on one core
+test-full:
 	$(TEST_ENV) python -m pytest tests/ -x -q
 
 bench:

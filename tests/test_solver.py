@@ -9,15 +9,20 @@ from cfdtpu.simulation import Simulation
 
 
 @pytest.fixture(scope="module")
-def lid_scenario():
-    return LidDriven2DSimulation(
+def lid_scenario(tmp_path_factory):
+    # solved HERE so every dependent test is order-independent (the
+    # solve used to live in test_lid_driven_steps, silently making the
+    # BC/divergence checks depend on it having run first)
+    sc = LidDriven2DSimulation(
         "stabilized_schur", dt=0.01, T=0.05, mu=0.01, nx=12
     )
+    sc._test_out = tmp_path_factory.mktemp("lid")
+    sc.solve(str(sc._test_out))
+    return sc
 
 
-def test_lid_driven_steps(lid_scenario, tmp_path_factory):
-    out = tmp_path_factory.mktemp("lid")
-    lid_scenario.solve(str(out))
+def test_lid_driven_steps(lid_scenario):
+    out = lid_scenario._test_out
     u = lid_scenario.solver.u_sol
     assert float(jnp.abs(u).max()) <= 1.0 + 1e-8  # max principle-ish
     assert float(jnp.abs(u).max()) > 0.5  # lid moves the fluid
