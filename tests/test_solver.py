@@ -262,7 +262,10 @@ def test_ghia_re400_profile():
     from validate_ghia import run
 
     err = run(400, nx=32, dt=0.5, n_steps=60, quiet=True)
-    assert err < 0.07
+    # measured 0.0446 on CPU f64; 0.055 keeps ~20% headroom for backend
+    # noise while catching a moderate regression (0.07 was 1.6x, loose
+    # enough to miss one — VERDICT round-3 weak #7)
+    assert err < 0.055
 
 
 def test_stats_window_catches_skipped_nonconvergence(tmp_path):
