@@ -72,6 +72,8 @@ def _bench_dfg(steps: int):
         kw["snes_lag_jacobian"] = os.environ["BENCH_JAC_LAG"] != "0"
     if os.environ.get("BENCH_AMG_KCYCLE"):
         kw["pc_amg_kcycle"] = os.environ["BENCH_AMG_KCYCLE"] != "0"
+    if os.environ.get("BENCH_AMG_WCYCLE"):
+        kw["pc_amg_wcycle"] = os.environ["BENCH_AMG_WCYCLE"] != "0"
     if os.environ.get("BENCH_AMG_CHEBY"):
         kw["pc_amg_cheby"] = int(os.environ["BENCH_AMG_CHEBY"])
     if os.environ.get("BENCH_SUPERNODE_G"):

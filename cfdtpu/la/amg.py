@@ -166,7 +166,7 @@ class AMG:
                  agg_row: np.ndarray | None = None,
                  agg_col: np.ndarray | None = None,
                  pairwise: bool = False, kcycle: bool = False,
-                 cheby_degree: int = 0):
+                 cheby_degree: int = 0, wcycle: bool = False):
         """row/col: COO graph of the operator. agg_row/agg_col: optional
         SPARSER graph to aggregate on — for the SELFP matrix (distance-2
         sparsity, ~19 neighbours) aggregating on the distance-1 node
@@ -179,6 +179,16 @@ class AMG:
         # K-cycle). Mutable — factories flip it on cached hierarchies;
         # v_cycle(kcycle=False) forces a plain (LINEAR) cycle per call.
         self.kcycle = bool(kcycle)
+        # wcycle: visit each coarse level TWICE per cycle (gamma = 2)
+        # with a residual correction between visits. Unlike the K-cycle
+        # this stays LINEAR in b, so it is legal inside the *_sup
+        # near-true Schur operator and under gmres_fixed sweeps where
+        # kcycle is forced off. Plain-aggregation V-cycles degrade with
+        # depth (the 15 -> 21 -> 38 outer-iteration growth over
+        # 78k -> 330k DOF, PERF.md); the W-cycle compounds the coarse
+        # correction instead. With ~7x coarsening the extra coarse
+        # visits cost ~20% per cycle. Mutable like kcycle.
+        self.wcycle = bool(wcycle)
         # cheby_degree > 0: replace the l1-Jacobi pre/post smoothers
         # with degree-k Chebyshev polynomial smoothing on the interval
         # [0.25, 1.05] * lambda_max(D_l1^-1 A) — the standard
@@ -313,12 +323,21 @@ class AMG:
 
         def csolve(k, rc):
             """Coarse-level solve at level k (the correction step)."""
-            if k == nl or not kc:
+            if k == nl:
                 return descend(k, rc)
-            return _gcr2(
-                lambda v: self._matvec(k, level_vals[k][0], v),
-                lambda v: descend(k, v), rc,
-            )
+            if kc:
+                return _gcr2(
+                    lambda v: self._matvec(k, level_vals[k][0], v),
+                    lambda v: descend(k, v), rc,
+                )
+            if self.wcycle:
+                # gamma = 2: second cycle on the residual — LINEAR
+                # (composition of linear cycles), unlike the K-cycle
+                x1 = descend(k, rc)
+                return x1 + descend(
+                    k, rc - self._matvec(k, level_vals[k][0], x1)
+                )
+            return descend(k, rc)
 
         def descend(k, b):
             if k == nl:
@@ -493,12 +512,20 @@ class BlockAMG(AMG):
             )
 
         def csolve(k, rc):
-            if k == nl or not kc:
+            if k == nl:
                 return descend(k, rc)
-            return _gcr2(
-                lambda v: self._matvec_block(k, level_vals[k][0], v),
-                lambda v: descend(k, v), rc,
-            )
+            if kc:
+                return _gcr2(
+                    lambda v: self._matvec_block(k, level_vals[k][0], v),
+                    lambda v: descend(k, v), rc,
+                )
+            if self.wcycle:
+                # gamma = 2 (see AMG.v_cycle): linear, S-operator-safe
+                x1 = descend(k, rc)
+                return x1 + descend(
+                    k, rc - self._matvec_block(k, level_vals[k][0], x1)
+                )
+            return descend(k, rc)
 
         def descend(k, b):
             if k == nl:

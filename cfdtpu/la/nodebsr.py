@@ -433,11 +433,11 @@ class NodeBSR:
         return self.p_scatter_structure()(P_e.reshape(-1))
 
     def sp_amg(self, pairwise=False, n_smooth=1, kcycle=None,
-               cheby=None):
+               cheby=None, wcycle=None):
         """Aggregation-MG hierarchy on the explicit SELFP graph
         (aggregates formed on the distance-1 node graph, see la/amg.py).
-        kcycle / cheby: None leaves the cached hierarchy's setting
-        untouched; a value sets it (structure is independent of both)."""
+        kcycle / cheby / wcycle: None leaves the cached hierarchy's
+        setting untouched; a value sets it (structure is independent)."""
         if getattr(self, "_sp_amg_h", None) is None:
             from .amg import AMG
 
@@ -452,6 +452,8 @@ class NodeBSR:
             self._sp_amg_h.kcycle = bool(kcycle)
         if cheby is not None:
             self._sp_amg_h.cheby_degree = int(cheby)
+        if wcycle is not None:
+            self._sp_amg_h.wcycle = bool(wcycle)
         return self._sp_amg_h
 
     # -- velocity-block AMG hooks (see la/amg.py BlockAMG) ---------------
@@ -471,7 +473,8 @@ class NodeBSR:
         add = mask[:, :, None] * jnp.eye(d, dtype=v.dtype)[None]
         return v.at[self._diag_pos].set(dv + add)
 
-    def uu_amg(self, fine_smoother=None, kcycle=None, cheby=None):
+    def uu_amg(self, fine_smoother=None, kcycle=None, cheby=None,
+               wcycle=None):
         """Block-aggregation-MG hierarchy on the velocity node graph
         (static structure, built once and cached) — the h-robust inner
         PC for the convection-dominated A_uu sweeps. fine_smoother: an
@@ -492,6 +495,8 @@ class NodeBSR:
             self._uu_amg_h.kcycle = bool(kcycle)
         if cheby is not None:
             self._uu_amg_h.cheby_degree = int(cheby)
+        if wcycle is not None:
+            self._uu_amg_h.wcycle = bool(wcycle)
         return self._uu_amg_h
 
     def uu_ras(self, s: int = 16, overlap: int = 4):

@@ -80,6 +80,7 @@ class Solver(SolverBase):
         pc_amg_pairwise: bool = False,
         pc_amg_smooth: int = 1,
         pc_amg_kcycle: bool = False,
+        pc_amg_wcycle: bool = False,
         pc_amg_cheby: int = 0,
         pc_ras_size: int = 16,
         pc_ras_overlap: int = 4,
@@ -133,6 +134,11 @@ class Solver(SolverBase):
         # at ~1.4x cycle cost. Applied only at flexible call sites
         # (la/schur.py forces plain-V inside the *_sup linear S op).
         self.pc_amg_kcycle = bool(pc_amg_kcycle)
+        # W-cycle (gamma = 2): compounds the coarse correction with two
+        # recursive visits per level. LINEAR, unlike the K-cycle, so it
+        # also strengthens the V-cycles inside the *_sup S operator and
+        # under gmres_fixed — the call sites where kcycle is forced off.
+        self.pc_amg_wcycle = bool(pc_amg_wcycle)
         # Degree-k Chebyshev polynomial smoothing inside the AMG cycles
         # (0 = l1-Jacobi). LINEAR (safe inside the *_sup S operator);
         # per-level lambda_max power-iterated at PC build, amortized by
@@ -365,10 +371,12 @@ class Solver(SolverBase):
                 nodebsr.sp_amg(pairwise=self.pc_amg_pairwise,
                                n_smooth=self.pc_amg_smooth,
                                kcycle=self.pc_amg_kcycle,
-                               cheby=self.pc_amg_cheby)
+                               cheby=self.pc_amg_cheby,
+                               wcycle=self.pc_amg_wcycle)
                 if self.pc_inner_method in ("amg_up", "amg_sup"):
                     nodebsr.uu_amg(kcycle=self.pc_amg_kcycle,
-                                   cheby=self.pc_amg_cheby)
+                                   cheby=self.pc_amg_cheby,
+                                   wcycle=self.pc_amg_wcycle)
                 elif self.pc_inner_method == "ras_up":
                     nodebsr.uu_ras(self.pc_ras_size, self.pc_ras_overlap)
                 elif self.pc_inner_method in ("rasamg_up", "rasamg_sup"):
@@ -377,7 +385,8 @@ class Solver(SolverBase):
                     )
                     nodebsr.uu_amg(fine_smoother=ras,
                                    kcycle=self.pc_amg_kcycle,
-                                   cheby=self.pc_amg_cheby)
+                                   cheby=self.pc_amg_cheby,
+                                   wcycle=self.pc_amg_wcycle)
             if nodebsr is not None and pc_type == "pcd":
                 # eager static maps for the PCD Ap assembly + AMG
                 nodebsr.p_scatter_structure()

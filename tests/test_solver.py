@@ -233,6 +233,21 @@ def test_amg_selfp_vcycle_contracts():
     rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
     assert rel < 0.05, rel
 
+    # W-cycle (gamma=2, linear): same 6 iterations must contract at
+    # least as hard as the V-cycle — it compounds the coarse correction
+    amg.wcycle = True
+    xw = jnp.zeros_like(b)
+    rw = b
+    for _ in range(6):
+        z = amg.v_cycle(built, rw)
+        xw = xw + z
+        xw = xw - xw.mean()
+        rw = b - mv(xw)
+        rw = rw - rw.mean()
+    amg.wcycle = False
+    rel_w = float(jnp.linalg.norm(rw) / jnp.linalg.norm(b))
+    assert rel_w <= rel * 1.05, (rel_w, rel)
+
 
 def test_amg_default_solver_converges():
     """stabilized_schur with the amg_p default must converge on the lid
