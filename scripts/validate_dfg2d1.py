@@ -41,7 +41,15 @@ def main():
         dtype="auto", early_stop_tolerance=tol, **extra,
     )
     t0 = time.time()
-    out = sc.solve(f"results_dfg2d1_{res_scale}_{int(t0) % 100000}")
+    # The functionals below read only solver state (u_sol/p_sol), so a
+    # late IO failure (e.g. the output dir vanishing mid-run) must not
+    # lose the campaign numbers — march as far as possible, then report.
+    out = f"results_dfg2d1_{res_scale}_{int(t0) % 100000} (solve raised)"
+    try:
+        out = sc.solve(f"results_dfg2d1_{res_scale}_{int(t0) % 100000}")
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate_dfg2d1] solve raised {type(e).__name__}: {e}; "
+              "reporting functionals from the last completed step")
     wall = time.time() - t0
 
     fdr, flr = sc.compute_drag_lift(method="reaction")
