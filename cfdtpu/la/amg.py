@@ -116,6 +116,10 @@ class AMGLevel:
     __slots__ = ("agg", "n_coarse", "entry_map", "entry_order",
                  "row", "col", "diag_pos", "n", "_coarse_coo")
 
+    # transfer protocol shared with PLevel: restrict/prolong (scalar and
+    # node-block) + coarsen_vals/coarsen_block_vals. v_cycle and build
+    # only touch this protocol, so weighted levels drop in transparently.
+
     def __init__(self, row, col, n, agg_row=None, agg_col=None,
                  pairwise=False):
         self.row, self.col, self.n = row, col, n
@@ -153,6 +157,150 @@ class AMGLevel:
             indices_are_sorted=True,
         )
 
+    coarsen_block_vals = coarsen_vals  # blocks sum wholesale (leading axis)
+
+    def restrict(self, r):
+        return jox.segment_sum(r, self.agg, num_segments=self.n_coarse)
+
+    def prolong(self, xc):
+        return xc[self.agg]
+
+    def restrict_block(self, r, d):
+        return jox.segment_sum(
+            r.reshape(-1, d), self.agg, num_segments=self.n_coarse
+        ).reshape(-1)
+
+    def prolong_block(self, xc, d):
+        return xc.reshape(-1, d)[self.agg].reshape(-1)
+
+
+class PLevel:
+    """p-multigrid transfer level: degree-k Lagrange nodes -> the mesh
+    vertex (degree-1) space, with embedded-interpolation weights.
+
+    Plain aggregation with piecewise-constant transfer is h-robust for
+    P1 node graphs but badly h-DEGRADING for higher-order spaces: the
+    constant-per-aggregate coarse space cannot represent the smooth
+    error of a P2 operator (measured: ~300 KSP/Newton at 153k DOF P2 vs
+    ~17 for P1 — scripts/diag_pc.py). The classical cure (what hypre/
+    PETSc users get from p-MG or smoothed aggregation; the reference
+    leans on BoomerAMG's distance-2 C/F interpolation) is one WEIGHTED
+    first level: restrict to the linear-in-each-cell subspace exactly,
+    then run the existing piecewise-constant hierarchy on the vertex
+    graph where it is known-good.
+
+    Transfer: fine dof i has parents par[i, :] (vertex ids, padded) with
+    weights w[i, :] (the degree-1 basis at dof i's reference node —
+    e.g. 0.5/0.5 for P2 edge midpoints; rows sum to 1, so constants are
+    reproduced exactly and linears by construction). Restriction is the
+    transpose. The Galerkin coarse operator P^T A P expands each fine
+    entry (i, j) into <= P*P weighted coarse contributions; the static
+    expansion maps are numpy-built once, the per-build value pass is one
+    gather + segment_sum like every other level.
+    """
+
+    __slots__ = ("n", "n_coarse", "par", "w", "_par_flat", "_w_flat",
+                 "_rep_fine", "entry_src", "entry_w", "entry_map",
+                 "diag_pos", "_coarse_coo", "coarse_agg_coo")
+
+    def __init__(self, row, col, n, parents, weights, n_coarse,
+                 agg_row=None, agg_col=None):
+        self.n, self.n_coarse = int(n), int(n_coarse)
+        parents = np.asarray(parents, dtype=np.int64)
+        weights = np.asarray(weights, dtype=np.float64)
+        fi, a = np.nonzero(weights != 0.0)
+        self._rep_fine = jnp.asarray(fi.astype(np.int32))
+        self._par_flat = jnp.asarray(parents[fi, a].astype(np.int32))
+        self._w_flat = jnp.asarray(weights[fi, a])
+        self.par = jnp.asarray(parents.astype(np.int32))
+        self.w = jnp.asarray(weights)
+
+        # Galerkin expansion: entry (i, j) with value v contributes
+        # w[i, a] * w[j, b] * v into coarse entry (par[i, a], par[j, b])
+        P = parents.shape[1]
+        wprod = (weights[row][:, :, None]
+                 * weights[col][:, None, :]).reshape(-1)
+        keys = (parents[row][:, :, None] * self.n_coarse
+                + parents[col][:, None, :]).reshape(-1)
+        src = np.repeat(np.arange(len(row), dtype=np.int64), P * P)
+        keep = wprod != 0.0
+        src, keys, wprod = src[keep], keys[keep], wprod[keep]
+        cuniq, cinv = np.unique(keys, return_inverse=True)
+        order = np.argsort(cinv, kind="stable")
+        self.entry_src = jnp.asarray(src[order].astype(np.int32))
+        self.entry_w = jnp.asarray(wprod[order])
+        self.entry_map = jnp.asarray(cinv[order].astype(np.int32))
+        crow = (cuniq // self.n_coarse).astype(np.int32)
+        ccol = (cuniq % self.n_coarse).astype(np.int32)
+        self._coarse_coo = (crow, ccol)
+        dpos = np.searchsorted(
+            cuniq,
+            np.arange(self.n_coarse, dtype=np.int64) * self.n_coarse
+            + np.arange(self.n_coarse),
+        )
+        self.diag_pos = jnp.asarray(dpos.astype(np.int32))
+
+        # structure-only image of the (sparser) aggregation graph, so
+        # the next level keeps aggregating on distance-1 connectivity
+        if agg_row is not None:
+            akeys = np.unique(
+                (parents[agg_row][:, :, None] * self.n_coarse
+                 + parents[agg_col][:, None, :])[
+                    (weights[agg_row][:, :, None]
+                     * weights[agg_col][:, None, :]) != 0.0
+                ]
+            )
+            self.coarse_agg_coo = (
+                (akeys // self.n_coarse).astype(np.int64),
+                (akeys % self.n_coarse).astype(np.int64),
+            )
+        else:
+            self.coarse_agg_coo = (crow.astype(np.int64),
+                                   ccol.astype(np.int64))
+
+    @property
+    def coarse_coo(self):
+        return self._coarse_coo
+
+    def coarsen_vals(self, vals):
+        v = vals[self.entry_src] * self.entry_w.astype(vals.dtype)
+        return jox.segment_sum(
+            v, self.entry_map,
+            num_segments=self._coarse_coo[0].shape[0],
+            indices_are_sorted=True,
+        )
+
+    def coarsen_block_vals(self, vals):
+        v = vals[self.entry_src] * self.entry_w.astype(vals.dtype)[
+            :, None, None
+        ]
+        return jox.segment_sum(
+            v, self.entry_map,
+            num_segments=self._coarse_coo[0].shape[0],
+            indices_are_sorted=True,
+        )
+
+    def restrict(self, r):
+        return jox.segment_sum(
+            r[self._rep_fine] * self._w_flat.astype(r.dtype),
+            self._par_flat, num_segments=self.n_coarse,
+        )
+
+    def prolong(self, xc):
+        return (self.w.astype(xc.dtype) * xc[self.par]).sum(axis=1)
+
+    def restrict_block(self, r, d):
+        rn = r.reshape(-1, d)
+        return jox.segment_sum(
+            rn[self._rep_fine] * self._w_flat.astype(r.dtype)[:, None],
+            self._par_flat, num_segments=self.n_coarse,
+        ).reshape(-1)
+
+    def prolong_block(self, xc, d):
+        xn = xc.reshape(-1, d)
+        return (self.w.astype(xc.dtype)[:, :, None]
+                * xn[self.par]).sum(axis=1).reshape(-1)
+
 
 class AMG:
     """Multilevel hierarchy on a scalar COO operator (sorted by row).
@@ -166,13 +314,21 @@ class AMG:
                  agg_row: np.ndarray | None = None,
                  agg_col: np.ndarray | None = None,
                  pairwise: bool = False, kcycle: bool = False,
-                 cheby_degree: int = 0, wcycle: bool = False):
+                 cheby_degree: int = 0, wcycle: bool = False,
+                 linear_parents=None):
         """row/col: COO graph of the operator. agg_row/agg_col: optional
         SPARSER graph to aggregate on — for the SELFP matrix (distance-2
         sparsity, ~19 neighbours) aggregating on the distance-1 node
         graph keeps aggregates at ~7 nodes instead of ~20, which
         piecewise-constant transfer needs to stay accurate under
-        refinement."""
+        refinement.
+
+        linear_parents: optional (parents, weights, n_vertices) from
+        FunctionSpace.linear_parents() — inserts a weighted p-multigrid
+        first level (PLevel) mapping degree-k nodes to the vertex space
+        before aggregation takes over. Required for h-robustness on
+        higher-order (P2+) node graphs; a no-op worth skipping for P1
+        (where nodes == vertices)."""
         self.omega = omega
         self.n_smooth = n_smooth
         # kcycle: accelerate coarse corrections with _gcr2 (Notay
@@ -203,6 +359,20 @@ class AMG:
         self.g = 8  # scalar supernode width: gathered rows of 8
         r, c, m = row, col, n
         ar, ac = (agg_row, agg_col) if agg_row is not None else (r, c)
+        if linear_parents is not None:
+            parents, weights, n_vert = linear_parents
+            if int(n_vert) < m:
+                self.coo.append((jnp.asarray(r.astype(np.int32)),
+                                 jnp.asarray(c.astype(np.int32)), m))
+                self.sup.append(self._build_sup(r, c, m))
+                plvl = PLevel(r, c, m, parents, weights, n_vert,
+                              agg_row=None if ar is r else ar,
+                              agg_col=None if ac is c else ac)
+                self.levels.append(plvl)
+                r, c = (np.asarray(plvl.coarse_coo[0], dtype=np.int64),
+                        np.asarray(plvl.coarse_coo[1], dtype=np.int64))
+                m = plvl.n_coarse
+                ar, ac = plvl.coarse_agg_coo
         for _ in range(max_levels):
             self.coo.append((jnp.asarray(r.astype(np.int32)),
                              jnp.asarray(c.astype(np.int32)), m))
@@ -350,12 +520,9 @@ class AMG:
                 x = self.omega * b / d
                 x = smooth(k, vals, d, x, b, self.n_smooth - 1)
             r = b - self._matvec(k, vals, x)
-            rc = jox.segment_sum(
-                r, self.levels[k].agg,
-                num_segments=self.levels[k].n_coarse,
-            )
+            rc = self.levels[k].restrict(r)
             xc = csolve(k + 1, rc)
-            x = x + xc[self.levels[k].agg]
+            x = x + self.levels[k].prolong(xc)
             if lam is not None:
                 return x + cheb(k, vals, d, lam,
                                 b - self._matvec(k, vals, x))
@@ -450,13 +617,7 @@ class BlockAMG(AMG):
                     1.0 / dg, self.coo[k][2] * d, ev.dtype,
                 )
             out.append((ev, dg, lam))
-            # block Galerkin: same entry maps, blocks summed wholesale
-            v = vals[lvl.entry_order]
-            vals = jox.segment_sum(
-                v, lvl.entry_map,
-                num_segments=lvl.coarse_coo[0].shape[0],
-                indices_are_sorted=True,
-            )
+            vals = lvl.coarsen_block_vals(vals)
         row, col, m = self.coo[len(self.levels)]
         A = jnp.zeros((m, m, d, d), vals.dtype).at[row, col].set(vals)
         A = jnp.transpose(A, (0, 2, 1, 3)).reshape(m * d, m * d)
@@ -540,13 +701,9 @@ class BlockAMG(AMG):
                 x = self.omega * b / dg  # first pre-smooth from x0 = 0
                 x = smooth(k, vals, dg, x, b, self.n_smooth - 1)
             r = b - self._matvec_block(k, vals, x)
-            agg = self.levels[k].agg
-            rc = jox.segment_sum(
-                r.reshape(-1, d), agg,
-                num_segments=self.levels[k].n_coarse,
-            ).reshape(-1)
+            rc = self.levels[k].restrict_block(r, d)
             xc = csolve(k + 1, rc)
-            x = x + xc.reshape(-1, d)[agg].reshape(-1)
+            x = x + self.levels[k].prolong_block(xc, d)
             if lam is not None and not (k == 0 and ras_inv is not None):
                 return x + cheb(k, vals, dg, lam,
                                 b - self._matvec_block(k, vals, x))

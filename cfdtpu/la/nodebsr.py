@@ -432,6 +432,16 @@ class NodeBSR:
         assembly don't apply to these pure-Q operators."""
         return self.p_scatter_structure()(P_e.reshape(-1))
 
+    def linear_parents(self):
+        """Vertex-embedding transfer data of the shared node space for
+        the weighted p-multigrid level (la/amg.PLevel) when the degree
+        is > 1 — higher-order node graphs are where piecewise-constant
+        aggregation loses h-robustness. None for P1 (nodes == vertices)."""
+        V = self.form.V
+        if V.degree <= 1:
+            return None
+        return V.linear_parents()
+
     def sp_amg(self, pairwise=False, n_smooth=1, kcycle=None,
                cheby=None, wcycle=None):
         """Aggregation-MG hierarchy on the explicit SELFP graph
@@ -441,6 +451,15 @@ class NodeBSR:
         if getattr(self, "_sp_amg_h", None) is None:
             from .amg import AMG
 
+            # NO p-level here: the SELFP matrix is INDEFINITE (~10% of
+            # its symmetric-part spectrum is negative, measured on DFG/
+            # cavity at P1 and P2 alike). Piecewise-constant coarsening
+            # averages those oscillatory negative modes away; the
+            # weighted vertex-space Galerkin represents them faithfully
+            # and the cycle then amplifies them (diverged 1e7x in
+            # test_amg_plevel_*). The h-robust p-level belongs on the
+            # (definite) momentum block — uu_amg — which is also where
+            # the measured P2 bottleneck is (scripts/diag_pc.py).
             sp_row, sp_col, _ = self.sp_structure()
             self._sp_amg_h = AMG(
                 np.asarray(sp_row), np.asarray(sp_col), self.n_nodes,
@@ -490,6 +509,7 @@ class NodeBSR:
             self._uu_amg_h = BlockAMG(
                 np.asarray(self.block_row), np.asarray(self.block_col),
                 self.n_nodes, d=self.dim, fine_smoother=fine_smoother,
+                linear_parents=self.linear_parents(),
             )
         if kcycle is not None:
             self._uu_amg_h.kcycle = bool(kcycle)
@@ -533,6 +553,8 @@ class NodeBSR:
         if self._pp_amg is None:
             from .amg import AMG
 
+            # no p-level: App carries the same stabilization-induced
+            # indefiniteness as SELFP (see sp_amg)
             self._pp_amg = AMG(
                 np.asarray(self.block_row), np.asarray(self.block_col),
                 self.n_nodes,

@@ -352,7 +352,11 @@ class Solver(SolverBase):
                           a2_coo[jnp.asarray(diag_pos)])
             )
         self._p_amg = AMG(a2_row.astype(np.int32),
-                          (puniq % n_p).astype(np.int32), n_p)
+                          (puniq % n_p).astype(np.int32), n_p,
+                          linear_parents=(
+                              self.Q.linear_parents()
+                              if self.Q.degree > 1 else None
+                          ))
         p_amg = self._p_amg
         # big constant operator state lives in this dict: the step
         # closures read it through `self._asm` AT TRACE TIME, so the
@@ -406,6 +410,12 @@ class Solver(SolverBase):
             self._u_amg = BlockAMG(
                 (uniq // n_u).astype(np.int32),
                 (uniq % n_u).astype(np.int32), n_u, dim,
+                # Taylor-Hood velocity is degree >= 2: piecewise-constant
+                # aggregation needs the weighted p-level for h-robustness
+                # (la/amg.PLevel)
+                linear_parents=(
+                    self.V.linear_parents() if self.V.degree > 1 else None
+                ),
             )
             u_amg = self._u_amg
             # tiny meshes coarsen to "all-coarse" hierarchies with no

@@ -164,6 +164,42 @@ class FunctionSpace:
         self.dof_coords = out
 
     # ------------------------------------------------------------------
+    def linear_parents(self):
+        """(parents, weights, n_vertices): the degree-1 embedding of each
+        scalar dof — for the p-multigrid transfer level (la/amg.PLevel).
+
+        parents[i, :] are mesh vertex ids and weights[i, :] the degree-1
+        basis evaluated at dof i's reference node (zero-padded), so
+        sum_a w[i, a] * f(vertex[par[i, a]]) reproduces any piecewise-
+        linear f exactly at every nodal point. Vertex dofs get themselves
+        with weight 1 (the dofmap numbers vertices first, by mesh vertex
+        id). Cells sharing a dof agree on the weights (same barycentric
+        position), so a plain last-writer scatter is well-defined."""
+        el = self.element
+        geom = LagrangeElement.create(self.mesh.cell_type, 1)
+        (N,) = geom.tabulate(el.nodes, nderiv=0)  # (nb, n_verts)
+        N = np.where(np.abs(N) < 1e-12, 0.0, N)
+        nb, nv = N.shape
+        # compact each local dof's vertex weights to the max valence
+        width = max(1, int((N != 0.0).sum(axis=1).max()))
+        loc_par = np.zeros((nb, width), dtype=np.int64)
+        loc_w = np.zeros((nb, width), dtype=np.float64)
+        for b in range(nb):
+            nz = np.nonzero(N[b])[0][:width]
+            loc_par[b, : len(nz)] = nz
+            loc_w[b, : len(nz)] = N[b, nz]
+        cells = self.mesh.cells
+        nc = cells.shape[0]
+        parents = np.zeros((self.num_dofs, width), dtype=np.int64)
+        weights = np.zeros((self.num_dofs, width), dtype=np.float64)
+        flat = self.dofmap.reshape(-1).astype(np.int64)
+        parents[flat] = cells[:, loc_par].reshape(nc * nb, width)
+        weights[flat] = np.broadcast_to(
+            loc_w[None], (nc, nb, width)
+        ).reshape(nc * nb, width)
+        return parents, weights, int(self.mesh.num_points)
+
+    # ------------------------------------------------------------------
     def facet_closure_dofs(self, facet_indices: np.ndarray) -> np.ndarray:
         """Unique scalar dofs on the closure of the given boundary facets.
 

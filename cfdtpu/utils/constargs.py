@@ -40,6 +40,8 @@ def collect_const_slots(roots, min_bytes: int = 1 << 20):
     seen = set()
 
     def visit(container):
+        if isinstance(container, type):
+            return  # never rewrite class objects (e.g. __bases__)
         oid = id(container)
         if oid in seen:
             return
@@ -53,12 +55,27 @@ def collect_const_slots(roots, min_bytes: int = 1 << 20):
                     container[i] = list(v)
             entries = [(container, i, v)
                        for i, v in enumerate(container)]
-        elif hasattr(container, "__dict__"):
+        elif hasattr(container, "__dict__") or hasattr(
+            type(container), "__slots__"
+        ):
+            # objects: instance dict attrs plus __slots__ attrs across
+            # the MRO (AMGLevel / PLevel / SuperMaps are slotted — their
+            # transfer maps are some of the LARGEST static arrays in a
+            # hierarchy and must not ride along as HLO constants)
+            names = list(vars(container)) if hasattr(
+                container, "__dict__"
+            ) else []
+            for klass in type(container).__mro__:
+                for s in getattr(klass, "__slots__", ()):
+                    if s not in names and hasattr(container, s):
+                        names.append(s)
             entries = []
-            for k, v in list(vars(container).items()):
+            for k in names:
+                v = getattr(container, k)
                 if isinstance(v, tuple) and any(
                     isinstance(e, (jax.Array, list, dict)) or
-                    hasattr(e, "__dict__") for e in v
+                    hasattr(e, "__dict__") or
+                    hasattr(type(e), "__slots__") for e in v
                 ):
                     v = list(v)
                     setattr(container, k, v)
@@ -70,8 +87,12 @@ def collect_const_slots(roots, min_bytes: int = 1 << 20):
                 slots.append((cont, key))
             elif isinstance(val, (dict, list)):
                 visit(val)
-            elif hasattr(val, "__dict__") and not isinstance(
-                val, (np.ndarray, str, bytes)
+            elif (
+                (hasattr(val, "__dict__")
+                 or hasattr(type(val), "__slots__"))
+                and not isinstance(
+                    val, (jax.Array, np.ndarray, str, bytes)
+                )
             ):
                 visit(val)
     for r in roots:

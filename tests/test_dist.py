@@ -223,6 +223,29 @@ def test_const_args_step_matches():
     assert np.allclose(np.asarray(u1), np.asarray(u0), atol=1e-9)
 
 
+def test_const_args_collects_slotted_hierarchy_maps():
+    """collect_const_slots must reach arrays held by __slots__ classes
+    (AMGLevel / PLevel / SuperMaps): the AMG transfer maps are some of
+    the largest static arrays in a hierarchy and embedding them as HLO
+    constants eats the axon remote-compile payload budget (the 413
+    ceiling, PERF.md)."""
+    from cfdtpu.la.amg import AMG, AMGLevel
+    from cfdtpu.utils.constargs import collect_const_slots
+    from __graft_entry__ import _build
+
+    s, _ = _build(nx=14, dtype=np.float64)
+    nodebsr = s._nodebsr
+    srow, scol, _ = nodebsr.sp_structure()
+    # small coarse_size forces real aggregation levels at this size
+    nodebsr._sp_amg_h = AMG(np.asarray(srow), np.asarray(scol),
+                            nodebsr.n_nodes, coarse_size=50)
+    assert len(nodebsr._sp_amg_h.levels) > 0
+    slots = collect_const_slots([s.form, nodebsr], min_bytes=1 << 10)
+    assert any(isinstance(c, AMGLevel) for c, _ in slots), (
+        "slotted AMG level arrays were not collected"
+    )
+
+
 def test_halo_scenario_end_to_end(tmp_path):
     """Scenario-level halo run (the CLI --n_shards path: time loop,
     outputs, norms) matches the serial scenario bit-for-bit-ish."""

@@ -249,6 +249,100 @@ def test_amg_selfp_vcycle_contracts():
     assert rel_w <= rel * 1.05, (rel_w, rel)
 
 
+def test_linear_parents_reproduce_coords():
+    """FunctionSpace.linear_parents() must reproduce every nodal
+    coordinate from the vertex coordinates (exact linear embedding) —
+    the property the p-multigrid transfer level (la/amg.PLevel) needs
+    to restrict degree-k operators onto the vertex space."""
+    from cfdtpu.mesh import create_unit_square
+    from cfdtpu.mesh.structured import create_unit_cube
+    from cfdtpu.spaces import FunctionSpace
+
+    for mesh in (create_unit_square(5, 4), create_unit_cube(3, 3, 2)):
+        for k in (2, 3):
+            V = FunctionSpace(mesh, k)
+            par, w, nvert = V.linear_parents()
+            assert nvert == mesh.num_points
+            rec = (w[:, :, None] * mesh.points[par]).sum(axis=1)
+            assert np.abs(rec - V.dof_coords).max() < 1e-12
+            assert np.abs(w.sum(axis=1) - 1.0).max() < 1e-12
+
+
+def test_amg_plevel_p2_galerkin_and_contraction():
+    """The weighted p-multigrid level on a P2 equal-order node graph:
+    (a) its Galerkin coarse values satisfy C xc == R A P xc exactly,
+    (b) the momentum-block hierarchy (p-level + aggregation) contracts
+    at least as well as the piecewise-constant-only one (the P2
+    h-degradation lever, scripts/diag_pc.py),
+    (c) the SELFP hierarchy deliberately has NO p-level — the weighted
+    vertex Galerkin of the indefinite SELFP matrix diverges (see
+    nodebsr.sp_amg)."""
+    import jax.numpy as jnp
+    from jax import ops as jox
+
+    from cfdtpu.forms import StabilizedNSForm
+    from cfdtpu.la.amg import BlockAMG, PLevel
+    from cfdtpu.la.nodebsr import NodeBSR
+    from cfdtpu.mesh import create_unit_square
+    from cfdtpu.spaces import FunctionSpace
+
+    mesh = create_unit_square(12, 12)
+    V = FunctionSpace(mesh, 2, 2)
+    Q = FunctionSpace(mesh, 2)
+    form = StabilizedNSForm(V, Q)
+    bsr = NodeBSR(form)
+    prm = {
+        "dt": jnp.asarray(0.01), "rho": jnp.asarray(1.0),
+        "mu": jnp.asarray(0.01), "f": jnp.zeros(2),
+    }
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(0.1 * rng.randn(V.num_dofs, 2))
+    A, B = form.element_jacobians(u, jnp.zeros(Q.num_dofs), (u,), prm)
+    vals = bsr.assemble(A, B)
+    uu = bsr.uu_vals(vals, jnp.zeros(form.n_u_flat, dtype=bool))
+
+    # (c) SELFP stays piecewise-constant-only
+    assert not any(isinstance(l, PLevel) for l in bsr.sp_amg().levels)
+    # default uu hierarchy carries the p-level for degree > 1
+    amg = bsr.uu_amg()
+    plvl = amg.levels[0]
+    assert isinstance(plvl, PLevel)
+    built = amg.build(uu)
+
+    def mv(x):
+        return amg._matvec_block(0, built[0][0][0], x)
+
+    # (a) Galerkin exactness of the weighted block transfer
+    cvals = plvl.coarsen_block_vals(uu)
+    crow, ccol = plvl.coarse_coo
+    xc = jnp.asarray(rng.randn(plvl.n_coarse * 2))
+    lhs = jox.segment_sum(
+        jnp.einsum("eab,eb->ea", cvals,
+                   xc.reshape(-1, 2)[jnp.asarray(ccol)]),
+        jnp.asarray(crow), num_segments=plvl.n_coarse,
+    ).reshape(-1)
+    rhs = plvl.restrict_block(mv(plvl.prolong_block(xc, 2)), 2)
+    assert np.allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-10)
+
+    # (b) contraction, p-level vs piecewise-constant-only
+    def run(hier, built_h):
+        b = jnp.asarray(np.random.RandomState(1).randn(form.n_u_flat))
+        x = jnp.zeros_like(b)
+        r = b
+        for _ in range(6):
+            z = hier.v_cycle(built_h, r)
+            x = x + z
+            r = b - mv(x)
+        return float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+
+    rel = run(amg, built)
+    amg_pc = BlockAMG(np.asarray(bsr.block_row),
+                      np.asarray(bsr.block_col), bsr.n_nodes, d=2)
+    rel_pc = run(amg_pc, amg_pc.build(uu))
+    assert rel < 0.05, rel
+    assert rel <= rel_pc * 1.05, (rel, rel_pc)
+
+
 def test_amg_default_solver_converges():
     """stabilized_schur with the amg_p default must converge on the lid
     cavity with few outer iterations."""
