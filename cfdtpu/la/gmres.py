@@ -35,6 +35,11 @@ def gmres_fixed(matvec, b, precond=None, m: int = 10,
     """
     M = precond if precond is not None else _identity_precond
     R = reduce if reduce is not None else (lambda x: x)
+    if m <= 0:
+        # preonly semantics (PETSc ksp_type preonly): one application of
+        # the preconditioner — keeps m=0 configs from allocating
+        # zero-size Krylov buffers (indexing error under jit)
+        return M(b)
     n = b.shape[0]
     dt = b.dtype
     tiny = jnp.asarray(jnp.finfo(dt).tiny ** 0.5, dt)
