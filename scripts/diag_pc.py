@@ -97,6 +97,13 @@ def main():
     for cfg in cfgs:
         cfg = dict(cfg)
         inner = cfg.pop("inner_method", "rasamg_sup")
+        plevel = cfg.pop("plevel", True)
+        # control arm: suppress the weighted p-multigrid first level so
+        # the degree>1 momentum hierarchy falls back to pure aggregation
+        nb.linear_parents = (
+            (lambda: None) if not plevel
+            else type(nb).linear_parents.__get__(nb)
+        )
         m_p = cfg.pop("m_p", 5)
         m_u = cfg.pop("m_u", 0)
         ras_size = cfg.pop("ras_size", 32)

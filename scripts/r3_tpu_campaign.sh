@@ -88,6 +88,10 @@ say "campaign stages 1-2 complete; see $LOG"
 # cheaper wall-clock. No pc_lag_steps / snes_lag_jacobian for the same
 # reason (chord on a stale Jacobian stalls in marches).
 TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
+# P2 momentum needs u-block Krylov sweeps over the p-multigrid AMG
+# (diag_pc: m_u=3 cuts the frozen-Jacobian solve 40 -> 17 its; preonly
+# u is only adequate for P1) — override after $TUNED (later key wins).
+TUNED_P2="$TUNED,\"pc_inner_u\":3"
 if [ "${R3_LONG:-0}" = "1" ]; then
   run_acc() {  # name res_scale extra_json
     name=$1; res=$2; extra=$3
@@ -105,10 +109,10 @@ if [ "${R3_LONG:-0}" = "1" ]; then
     say "done acc $name (exit $code)"
   }
   # P2 pressure at ~140k DOF: dp converges ~O(h^2) in P2
-  run_acc p2_dp    0.5  "{\"p_grade\":2,$TUNED}"
+  run_acc p2_dp    0.5  "{\"p_grade\":2,$TUNED_P2}"
   # fine obstacle ring (half the default r/6) for c_L at ~110k DOF
   run_acc ring_cl  0.25 "{\"res_min\":0.004,$TUNED}"
   # combined, if both individually land
-  run_acc p2_ring  0.5  "{\"p_grade\":2,\"res_min\":0.004,$TUNED}"
+  run_acc p2_ring  0.5  "{\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
   say "stage 3 complete"
 fi
