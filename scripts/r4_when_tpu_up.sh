@@ -34,6 +34,13 @@ run_bench() {  # name, env...
   out=$(env "$@" BENCH_TIMEOUT=1800 timeout 2000 python bench.py 2>/tmp/r4_stderr.log)
   code=$?
   line=$(echo "$out" | grep -o '{.*}' | tail -1)
+  if echo "$line" | grep -q '_cpu_'; then
+    # worker died mid-bench and bench.py fell back to CPU: record it
+    # under a non-matching tag so the next supervisor pass retries
+    echo "{\"tag\": \"${name}_cpufallback\", \"exit\": $code, \"result\": ${line:-null}}" >> "$LOG"
+    say "CPU fallback on $name (worker flapped) -> will retry next pass"
+    return 1
+  fi
   echo "{\"tag\": \"$name\", \"exit\": $code, \"result\": ${line:-null}}" >> "$LOG"
   say "done $name -> $line (exit $code)"
 }
