@@ -348,14 +348,17 @@ def main():
           f"(+{time.time() - t_start:.0f}s)", file=sys.stderr, flush=True)
 
     if healthy:
-        # phase 1: small size — lands a real TPU number fast
-        r = _run_phase(
-            {"BENCH_RES_SCALE": small_scale},
-            min(480.0, deadline - time.time() - 120),
-        )
-        if r:
-            last = r
-            print(json.dumps(r), flush=True)
+        # phase 1: small size — lands a real TPU number fast.
+        # BENCH_SKIP_SMALL=1 (campaign queue use): the worker flaps on a
+        # minutes scale, so spend its up-window on the target size only.
+        if os.environ.get("BENCH_SKIP_SMALL", "0") != "1":
+            r = _run_phase(
+                {"BENCH_RES_SCALE": small_scale},
+                min(480.0, deadline - time.time() - 120),
+            )
+            if r:
+                last = r
+                print(json.dumps(r), flush=True)
         # phase 2: the full-size config supersedes on success
         r = _run_phase({}, deadline - time.time() - 60)
         if r:

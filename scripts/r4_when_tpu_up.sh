@@ -51,14 +51,14 @@ say "TPU worker is back ($(cat /tmp/tpu_up)); starting round-4 queue"
 # -- stage 0: the BENCH_r04 target measurement first, alone -----------
 # (tuned config IS bench.py's default: rasamg_sup, u=0, p=5, jac-lag,
 # ras=32, pc_lag_steps=4, stats_every=4, 106k DOF)
-run_bench r4_106k_tuned BENCH_STEPS=8
+run_bench r4_106k_tuned BENCH_STEPS=8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120
 
 # -- stage 1: the >= 500k ladder (VERDICT item 2) ----------------------
-run_bench r4_500k  BENCH_RES_SCALE=0.14 BENCH_STEPS=4
-run_bench r4_950k  BENCH_RES_SCALE=0.10 BENCH_STEPS=4
+run_bench r4_500k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120  BENCH_RES_SCALE=0.14 BENCH_STEPS=4
+run_bench r4_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120  BENCH_RES_SCALE=0.10 BENCH_STEPS=4
 # bf16 PC + g=8 supernodes: the bandwidth levers matter most at scale
-run_bench r4_500k_bf16g8 BENCH_RES_SCALE=0.14 BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8
-run_bench r4_950k_bf16g8 BENCH_RES_SCALE=0.10 BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8
+run_bench r4_500k_bf16g8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 BENCH_RES_SCALE=0.14 BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8
+run_bench r4_950k_bf16g8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 BENCH_RES_SCALE=0.10 BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8
 
 # -- stage 2: the r3 sweep (tuning data; resumable, shares its own log)
 R3_LOG=${R3_LOG:-/tmp/r3_campaign.log} bash scripts/r3_tpu_campaign.sh
