@@ -200,6 +200,13 @@ def _bench_spmv(reps: int):
 
 def _run_child():
     """One measurement, bounded by its own alarm; prints one JSON line."""
+    # Persistent compilation cache: the axon worker flaps on a minutes
+    # scale, and the big-size compiles (~10 min at >=500k DOF) are what
+    # get lost when it dies mid-bench. With the cache, a retry pass in
+    # the next up-window reloads the executable instead of recompiling.
+    # Harmless if the backend can't serialize executables (JAX warns).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cc_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
     steps = int(os.environ.get("BENCH_STEPS", "4"))
     scenario = os.environ.get("BENCH_SCENARIO", "dfg")
     import signal

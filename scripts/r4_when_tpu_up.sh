@@ -13,6 +13,10 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${R4_LOG:-/tmp/r4_campaign.log}
 export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
+# persistent compile cache: big-size retries after worker flaps reload
+# the executable instead of recompiling (also set in bench.py child)
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cc_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=10
 say() { echo "[r4-up] $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
 
 probe() {
@@ -54,6 +58,8 @@ say "TPU worker is back ($(cat /tmp/tpu_up)); starting round-4 queue"
 run_bench r4_106k_tuned BENCH_STEPS=8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120
 
 # -- stage 1: the >= 500k ladder (VERDICT item 2) ----------------------
+# bandwidth levers at the target size: bf16 PC + g=8 supernode rows
+run_bench r4_106k_bf16g8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8
 run_bench r4_500k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120  BENCH_RES_SCALE=0.14 BENCH_STEPS=4
 run_bench r4_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120  BENCH_RES_SCALE=0.10 BENCH_STEPS=4
 # bf16 PC + g=8 supernodes: the bandwidth levers matter most at scale
