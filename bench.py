@@ -98,15 +98,25 @@ def _bench_dfg(steps: int):
     float(jnp.sum(s.u_sol))  # true fence (axon acks optimistically)
 
     t0 = time.perf_counter()
+    checked = {}
     for _ in range(steps):
         s.solveStep()
         s.u_prev, s.p_prev = s.u_sol, s.p_sol
+        if "ksp_iters" in (s.last_stats or {}):
+            checked = s.last_stats
     # scalar readback: the only real fence on the axon relay —
     # block_until_ready acks optimistically (PERF.md round-2 note)
     float(jnp.sum(s.u_sol))
     elapsed = time.perf_counter() - t0
     ndofs = s.V.num_global_dofs + s.Q.num_global_dofs
-    return f"dfg_2d1_{ndofs}dof", steps / elapsed, "steps/sec/chip"
+    # diagnosis riders: last checked-window iteration counts — with
+    # these in the JSON line every campaign measurement also says WHY
+    # it was slow (PC iteration growth vs per-iteration cost)
+    extra = {
+        k: int(v) for k, v in checked.items()
+        if k in ("newton_iters", "ksp_iters")
+    }
+    return f"dfg_2d1_{ndofs}dof", steps / elapsed, "steps/sec/chip", extra
 
 
 def _bench_lid(steps: int):
@@ -224,12 +234,13 @@ def _run_child():
     signal.signal(signal.SIGALRM, _on_timeout)
     signal.alarm(int(os.environ.get("BENCH_CHILD_TIMEOUT", "1200")))
     try:
+        extra = {}
         if scenario == "lid":
             name, val, unit = _bench_lid(steps)
         elif scenario == "spmv":
             name, val, unit = _bench_spmv(steps)
         else:
-            name, val, unit = _bench_dfg(steps)
+            name, val, unit, extra = _bench_dfg(steps)
         vs = val / 5.0 if unit.startswith("steps") else val / 100.0
         if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
             name += "_cpu"
@@ -238,6 +249,7 @@ def _run_child():
             "value": round(float(val), 4),
             "unit": unit,
             "vs_baseline": round(float(vs), 4),
+            **extra,
         }
         print(json.dumps(result), flush=True)
         return 0
