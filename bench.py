@@ -93,8 +93,13 @@ def _bench_dfg(steps: int):
     import jax.numpy as jnp
 
     s = sc.solver
-    s.solveStep()  # compile + warmup
-    s.u_prev, s.p_prev = s.u_sol, s.p_sol
+    # warmup: step 1 pays the compile; extra warmup steps (BENCH_WARMUP)
+    # move the measurement window out of the impulsive-start transient
+    # (riders show ~5 Newton its/step there vs 2-3 developed) into the
+    # developed regime that the steps/s production target is about
+    for _ in range(int(os.environ.get("BENCH_WARMUP", "1"))):
+        s.solveStep()
+        s.u_prev, s.p_prev = s.u_sol, s.p_sol
     float(jnp.sum(s.u_sol))  # true fence (axon acks optimistically)
 
     t0 = time.perf_counter()

@@ -64,6 +64,9 @@ run_bench r4_500k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120  BENCH_RES_SCALE=0.1
 run_bench r4_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120  BENCH_RES_SCALE=0.10 BENCH_STEPS=4
 # bf16 PC + g=8 supernodes: the bandwidth levers matter most at scale
 run_bench r4_500k_bf16g8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 BENCH_RES_SCALE=0.14 BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8
+# developed-regime arms: warmup past the impulsive-start transient
+run_bench r4_106k_warm BENCH_STEPS=8 BENCH_WARMUP=6 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120
+run_bench r4_500k_warm BENCH_WARMUP=4 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 BENCH_RES_SCALE=0.14
 run_bench r4_950k_bf16g8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 BENCH_RES_SCALE=0.10 BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8
 
 # -- stage 2: the r3 sweep (tuning data; resumable, shares its own log)
