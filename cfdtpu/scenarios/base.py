@@ -369,6 +369,11 @@ class Scenario(ABC):
         s.p_sol = jnp.asarray(data["p_sol"])
         s.u_prev = jnp.asarray(data["u_prev"])
         s.p_prev = jnp.asarray(data["p_prev"])
+        # restore the solver's step counter too: step-indexed behaviour
+        # (BC ramping over the first N steps, pc_lag rebuild phase) must
+        # not restart from 0 on a resumed march — a re-applied ramp
+        # would collapse the developed inflow back to alpha = 1/N
+        s.step_count = int(data["step"])
         return float(data["t"]), int(data["step"])
 
     # ------------------------------------------------------------------

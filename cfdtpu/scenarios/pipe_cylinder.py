@@ -8,6 +8,8 @@ cfdtpu/validation (reference keeps them in src/benchmark_data/pipe_cylinder).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..geom.dfg import generate_dfg_mesh
@@ -137,40 +139,58 @@ class PipeCylinder2D2Simulation(PipeCylinderSimulation):
         # forces stay ON DEVICE during the march: a float() per step is
         # a host sync that serializes the async dispatch queue (~52 ms
         # each on the axon relay x thousands of shedding steps). Pairs
-        # are packed into (64, 2) chunks device-side and fetched in one
-        # batched device_get at the end.
-        times: list[float] = []
+        # are packed into (64, 2) chunks device-side; each full chunk is
+        # fetched in ONE batched device_get and appended to
+        # bdforces_partial.txt, so a run killed mid-march (worker flap,
+        # timeout) keeps its series up to the last flush and a
+        # checkpoint-resumed continuation appends to it seamlessly.
+        from ..dist.process import is_main_process
+
+        main = is_main_process()
+        part_path = os.path.join(output_folder, "bdforces_partial.txt")
+        if self.resume_from and os.path.exists(part_path):
+            prior = np.loadtxt(part_path, ndmin=2)
+            self._force_rows = [
+                (int(r[0]), float(r[1]), float(r[2]), float(r[3]))
+                for r in prior
+            ]
+        elif main:
+            os.makedirs(output_folder, exist_ok=True)
+            with open(part_path, "w") as f:
+                f.write("# timestep time cd cl\n")
         pend: list = []
-        chunks: list = []
+
+        def flush():
+            if not pend or not main:
+                pend.clear()
+                return
+            ts = [t for t, _ in pend]
+            arr = np.asarray(jax.device_get(
+                jnp.stack([v for _, v in pend])
+            ))
+            pend.clear()
+            base = len(self._force_rows)
+            with open(part_path, "a") as f:
+                for j in range(arr.shape[0]):
+                    row = (base + j, ts[j], scale * float(arr[j, 0]),
+                           scale * float(arr[j, 1]))
+                    self._force_rows.append(row)
+                    f.write(f"{row[0]} {row[1]:.6f} {row[2]:.8e} "
+                            f"{row[3]:.8e}\n")
 
         def record(t):
             fd, fl = bf.drag_lift(
                 self.solver.u_sol, self.solver.p_sol, self.solver.mu
             )
-            times.append(float(t))
-            pend.append(jnp.stack([fd, fl]))
+            pend.append((float(t), jnp.stack([fd, fl])))
             if len(pend) == 64:
-                chunks.append(jnp.stack(pend))
-                pend.clear()
+                flush()
             if afterStepCallback:
                 afterStepCallback(t)
 
         out_path = super().solve(output_folder, record)
-        if pend:
-            chunks.append(jnp.stack(pend))
-            pend.clear()
-        if chunks:
-            arr = np.concatenate(
-                [np.asarray(c) for c in jax.device_get(chunks)]
-            )
-            self._force_rows = [
-                (i, times[i], scale * float(arr[i, 0]),
-                 scale * float(arr[i, 1]))
-                for i in range(len(times))
-            ]
-        from ..dist.process import is_main_process
-
-        if not is_main_process():
+        flush()
+        if not main:
             return out_path
         with open(f"{out_path}/bdforces.txt", "w") as f:
             f.write("# timestep time cd cl\n")

@@ -26,8 +26,10 @@ run_bench() {  # name, env...
   if grep -q "\"tag\": \"$name\"" "$LOG" 2>/dev/null; then
     say "skip $name (already logged)"; return 0
   fi
-  if ! probe; then say "TPU unhealthy before $name; waiting 180s"; sleep 180;
-    probe || { say "TPU still unhealthy, skipping $name"; return 1; }
+  if ! probe; then say "TPU unhealthy before $name; waiting 120s"; sleep 120;
+    # exit the whole pass: the supervisor restarts from the priority
+    # top on recovery instead of walking dead stages
+    probe || { say "TPU still unhealthy at $name; ending pass"; exit 1; }
   fi
   say "start $name: $*"
   out=$(env "$@" BENCH_TIMEOUT=1800 timeout 2000 python bench.py 2>/tmp/r3_stderr.log)
@@ -35,8 +37,8 @@ run_bench() {  # name, env...
   line=$(echo "$out" | grep -o '{.*}' | tail -1)
   if echo "$line" | grep -q '_cpu_'; then
     echo "{\"tag\": \"${name}_cpufallback\", \"exit\": $code, \"result\": ${line:-null}}" >> "$LOG"
-    say "CPU fallback on $name (worker flapped) -> will retry next pass"
-    return 1
+    say "CPU fallback on $name (worker flapped); ending pass"
+    exit 1
   fi
   echo "{\"tag\": \"$name\", \"exit\": $code, \"result\": ${line:-null}}" >> "$LOG"
   say "done $name -> $line (exit $code)"
@@ -103,7 +105,7 @@ if [ "${R3_LONG:-0}" = "1" ]; then
     if grep -q "ACC_DONE $name" "$LOG" 2>/dev/null; then
       say "skip acc $name (already logged)"; return 0
     fi
-    probe || { say "TPU unhealthy, skipping acc $name"; return 1; }
+    probe || { say "TPU unhealthy at acc $name; ending pass"; exit 1; }
     say "start acc $name: res=$res extra=$extra"
     out=$(PYTHONPATH=/root/repo timeout 14400 python \
       scripts/validate_dfg2d1.py "$res" 0.05 2e-6 10 "$extra" \

@@ -36,6 +36,17 @@ def main():
     # steps); ramping the lid/inflow over 10 steps reaches the same
     # steady state with ordinary per-step Newton counts.
     solver_name = extra.pop("solver", "stabilized_schur")
+    # flap-survivable: deterministic per-config output dir + periodic
+    # checkpoints, auto-resumed — a bounded per-window campaign driver
+    # finishes the march across several worker up-windows
+    import os
+
+    tag = extra.pop("tag", "")
+    outdir = f"results_dfg2d1_{res_scale}{'_' + tag if tag else ''}"
+    extra.setdefault("checkpoint_every", 50)
+    ckpt = os.path.join(outdir, "checkpoint.npz")
+    if os.path.exists(ckpt):
+        extra["resume_from"] = ckpt
     sc = DFG1Benchmark(
         solver_name, dt=dt, T=T, res_scale=res_scale,
         dtype="auto", early_stop_tolerance=tol, **extra,
@@ -44,10 +55,12 @@ def main():
     # The functionals below read only solver state (u_sol/p_sol), so a
     # late IO failure (e.g. the output dir vanishing mid-run) must not
     # lose the campaign numbers — march as far as possible, then report.
-    out = f"results_dfg2d1_{res_scale}_{int(t0) % 100000} (solve raised)"
+    out = f"{outdir} (solve raised)"
+    complete = True
     try:
-        out = sc.solve(f"results_dfg2d1_{res_scale}_{int(t0) % 100000}")
+        out = sc.solve(outdir)
     except Exception as e:  # noqa: BLE001
+        complete = False
         print(f"[validate_dfg2d1] solve raised {type(e).__name__}: {e}; "
               "reporting functionals from the last completed step")
     wall = time.time() - t0
@@ -60,6 +73,7 @@ def main():
     print(json.dumps({
         "dofs": ndofs, "res_scale": res_scale, "dt": dt,
         "steps": sc.solver.step_count, "wall_s": round(wall, 1),
+        "complete": complete,
         "cd_reaction": 500 * fdr, "cl_reaction": 500 * flr,
         "cd_line": 500 * fdl, "cl_line": 500 * fll, "dp": dp,
         "check": {k: {"inside": v["inside"],
@@ -67,7 +81,11 @@ def main():
                   for k, v in res.items()},
     }, indent=1))
     print(f"outputs in {out}")
+    # nonzero until the march ran to early-stop/T: an interrupted leg
+    # reports its partial functionals but the campaign driver retries
+    # (the checkpoint makes the retry cheap)
+    return 0 if complete else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

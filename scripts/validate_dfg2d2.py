@@ -5,6 +5,14 @@ developed, then compares c_Dmax / c_Lmax / Strouhal against the shipped
 FEATFLOW reference series and the published intervals
 (cfdtpu/validation/dfg.py DFG_2D2_INTERVALS).
 
+Flap-survivable: the run checkpoints every 200 steps into a
+DETERMINISTIC per-resolution output dir and auto-resumes from it, and
+the force series is flushed incrementally (bdforces_partial.txt), so
+a campaign interrupted by an axon worker crash loses at most ~64 steps
+of series and a bounded per-window driver (scripts/r4_when_tpu_up.sh)
+can finish it across several worker up-windows. Exit code is nonzero
+until the march actually reaches T.
+
 Usage: python scripts/validate_dfg2d2.py [res_scale] [T] [dt]
 Defaults: res_scale 0.5, T 12, dt 0.0025 — several hours on CPU, ~1 h on
 TPU at this size; raise res_scale for a smoke run.
@@ -22,7 +30,7 @@ def main():
 
     from cfdtpu.scenarios.pipe_cylinder import PipeCylinder2D2Simulation
     from cfdtpu.validation.dfg import (
-        DFG_2D2_INTERVALS, featflow_reference_stats,
+        DFG_2D2_INTERVALS, dfg_2d2_series_stats, featflow_reference_stats,
     )
 
     import json
@@ -36,29 +44,45 @@ def main():
         "pc_inner_method": "rasamg_sup", "pc_inner_u": 0,
         "pc_inner_p": 3, "pc_ras_size": 32,
         "snes_lag_jacobian": True, "pc_lag_steps": 4, "stats_every": 5,
+        "checkpoint_every": 200,
     }
     kw.update(json.loads(os.environ.get("DFG2D2_KW", "{}")))
+    out = f"results_dfg2d2_{res_scale}"
+    ckpt = os.path.join(out, "checkpoint.npz")
+    if os.path.exists(ckpt):
+        kw["resume_from"] = ckpt
     sc = PipeCylinder2D2Simulation(
         "stabilized_schur", dt=dt, T=T, res_scale=res_scale, **kw,
     )
-    out = sc.solve("results_dfg2d2")
-    rows = np.asarray(sc._force_rows)
+    complete = True
+    try:
+        sc.solve(out)
+    except Exception as e:  # noqa: BLE001 — report partial series anyway
+        complete = False
+        print(f"[validate_dfg2d2] solve raised {type(e).__name__}: {e}; "
+              "reporting the flushed partial series")
+
+    src = os.path.join(out, "bdforces.txt")
+    if not complete or not os.path.exists(src):
+        src = os.path.join(out, "bdforces_partial.txt")
+    rows = np.loadtxt(src, ndmin=2)
+    if rows.size == 0:
+        print("[validate_dfg2d2] no force rows flushed yet")
+        return 1
     t, cd, cl = rows[:, 1], rows[:, 2], rows[:, 3]
-    # analyse the last 40% (developed regime)
-    k = int(0.6 * len(t))
-    t, cd, cl = t[k:], cd[k:], cl[k:]
-    s = np.where((cl[:-1] < 0) & (cl[1:] >= 0))[0]
-    st = np.nan
-    if len(s) >= 2:
-        st = 0.1 / ((t[s[-1]] - t[s[0]]) / (len(s) - 1))
-    print(f"computed:  cd_max={cd.max():.4f} cl_max={cl.max():.4f} "
-          f"St={st:.4f}")
+    t_end = float(t[-1])
+    complete = complete and t_end >= T - 2 * dt
+    stats = dfg_2d2_series_stats(t, cd, cl, n_periods=3)
+    print(f"computed:  cd_max={stats['cd_max']:.4f} "
+          f"cl_max={stats['cl_max']:.4f} St={stats['strouhal']:.4f} "
+          f"(t_end={t_end:.3f}, complete={complete})")
     ref = featflow_reference_stats(4, 3)
     print(f"featflow:  cd_max={ref['cd_max']:.4f} "
           f"cl_max={ref['cl_max']:.4f} St={ref['strouhal']:.4f}")
     print(f"published: {DFG_2D2_INTERVALS}")
-    print(f"series written to {out}/bdforces.txt")
+    print(f"series in {src}")
+    return 0 if complete else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

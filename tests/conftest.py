@@ -78,6 +78,7 @@ _SLOW = {
     "test_checkpoint_resume",
     # test_dfg.py (keeps test_dfg_functionals_plausible)
     "test_pipe_cylinder_2d2_records_forces",
+    "test_pipe_cylinder_2d2_resume_appends_series",
     # test_variants.py (keeps test_bdf2_lid)
     "test_aspin_matches_base",
     "test_pressure_backflow_channel",

@@ -139,3 +139,39 @@ def test_dfg_2d2_series_stats_reproduces_featflow():
     assert stats[2]["cl_max"] < stats[3]["cl_max"] < stats[4]["cl_max"]
     lo, _ = DFG_2D2_INTERVALS["cd_max"]
     assert stats[4]["cd_max"] < lo + 0.03  # lv4 approaches the band
+
+
+def test_pipe_cylinder_2d2_resume_appends_series(tmp_path):
+    """A checkpointed 2D-2 run resumed mid-march must append to the
+    incrementally-flushed force series (bdforces_partial.txt) so a
+    worker-flap-interrupted campaign keeps a contiguous series across
+    legs (scripts/validate_dfg2d2.py resumability)."""
+    import numpy as np
+
+    from cfdtpu.scenarios.pipe_cylinder import PipeCylinder2D2Simulation
+
+    out = str(tmp_path / "run")
+    sc = PipeCylinder2D2Simulation(
+        "stabilized_schur", dt=0.01, T=0.02, res_scale=3.0,
+        checkpoint_every=2,
+    )
+    sc.solve(out)
+    ck = tmp_path / "run" / "checkpoint.npz"
+    assert ck.exists()
+    part1 = np.loadtxt(tmp_path / "run" / "bdforces_partial.txt", ndmin=2)
+    assert part1.shape[0] == 2
+
+    sc2 = PipeCylinder2D2Simulation(
+        "stabilized_schur", dt=0.01, T=0.04, res_scale=3.0,
+        checkpoint_every=2, resume_from=str(ck),
+    )
+    sc2.solve(out)
+    part2 = np.loadtxt(tmp_path / "run" / "bdforces_partial.txt", ndmin=2)
+    full = np.loadtxt(tmp_path / "run" / "bdforces.txt", ndmin=2)
+    assert part2.shape[0] == 4 and full.shape[0] == 4
+    # contiguous indices and times across the resume boundary
+    assert list(full[:, 0]) == [0, 1, 2, 3]
+    assert np.all(np.diff(full[:, 1]) > 0)
+    # leg-1 rows unchanged by the resumed leg
+    np.testing.assert_allclose(full[:2], part1, rtol=1e-12)
+    assert np.isfinite(full).all()
