@@ -285,11 +285,6 @@ class Scenario(ABC):
                     f"fnorm={st.get('fnorm', float('nan')):.3e}",
                     flush=True,
                 )
-            if self.checkpoint_every and i % self.checkpoint_every == 0:
-                self.save_checkpoint(
-                    os.path.join(output_folder, "checkpoint.npz"), t, i
-                )
-
             if self.has_exact_solution:
                 error = self.compute_error_at(t)
                 error_log.write("t = %.3f: error = %.3g\n" % (t, error))
@@ -300,6 +295,16 @@ class Scenario(ABC):
 
             if afterStepCallback:
                 afterStepCallback(t)
+
+            # checkpoint AFTER the step callback: per-step series
+            # recorders (e.g. the DFG 2D-2 force recorder) must have seen
+            # step i before the step-i checkpoint exists, so a resumed
+            # leg's series can be reconciled exactly to the checkpoint
+            if self.checkpoint_every and i % self.checkpoint_every == 0:
+                self.pre_checkpoint()
+                self.save_checkpoint(
+                    os.path.join(output_folder, "checkpoint.npz"), t, i
+                )
 
             if (i + 1) % 10 == 0:
                 # one fused fetch: separate float() calls are two full
@@ -328,6 +333,7 @@ class Scenario(ABC):
             w.close()
         stats_log.close()
         if self.checkpoint_every:
+            self.pre_checkpoint()
             self.save_checkpoint(
                 os.path.join(output_folder, "checkpoint.npz"), t, i
             )
@@ -349,17 +355,33 @@ class Scenario(ABC):
     # checkpointing (SURVEY.md 5.4); with array state it is a single
     # npz of (u_sol, p_sol, u_prev, p_prev, t, step).
     # ------------------------------------------------------------------
+    def pre_checkpoint(self) -> None:
+        """Hook called immediately before every save_checkpoint. Scenario
+        subclasses that buffer per-step series device-side (DFG 2D-2
+        force recorder) override/assign this to flush, so the on-disk
+        series never trails the checkpoint it will be resumed from."""
+
+    # solver history beyond (u_sol, p_sol, u_prev, p_prev) that multistep
+    # schemes need across a resume: BDF2's u^{n-1} (stabilized family)
+    # and the IPCS-BDF2 extrapolation state
+    _CKPT_HISTORY = ("u_prev2", "u_n1")
+
     def save_checkpoint(self, path: str, t: float, step: int) -> None:
         from ..dist.process import is_main_process
 
         if not is_main_process():
             return
         s = self.solver
+        extra = {
+            name: np.asarray(getattr(s, name))
+            for name in self._CKPT_HISTORY
+            if getattr(s, name, None) is not None
+        }
         np.savez(
             path,
             u_sol=np.asarray(s.u_sol), p_sol=np.asarray(s.p_sol),
             u_prev=np.asarray(s.u_prev), p_prev=np.asarray(s.p_prev),
-            t=t, step=step,
+            t=t, step=step, **extra,
         )
 
     def load_checkpoint(self, path: str) -> tuple[float, int]:
@@ -369,6 +391,21 @@ class Scenario(ABC):
         s.p_sol = jnp.asarray(data["p_sol"])
         s.u_prev = jnp.asarray(data["u_prev"])
         s.p_prev = jnp.asarray(data["p_prev"])
+        for name in self._CKPT_HISTORY:
+            if getattr(s, name, None) is None:
+                continue
+            if name in data.files:
+                setattr(s, name, jnp.asarray(data[name]))
+            elif name == "u_n1":
+                # pre-history checkpoint: the IPCS-BDF2 extrapolation
+                # falls back to its own t=0 convention u_n1 = u_prev
+                s.u_n1 = s.u_prev
+            else:
+                # BDF2-family u_prev2 missing: step_count > 0 would
+                # select full BDF2 coefficients against a zero u_prev2
+                # and inject a large spurious transient — tell the
+                # solver to self-heal with one BDF1 step instead
+                s._resume_lost_history = True
         # restore the solver's step counter too: step-indexed behaviour
         # (BC ramping over the first N steps, pc_lag rebuild phase) must
         # not restart from 0 on a resumed march — a re-applied ramp

@@ -149,11 +149,29 @@ class PipeCylinder2D2Simulation(PipeCylinderSimulation):
         main = is_main_process()
         part_path = os.path.join(output_folder, "bdforces_partial.txt")
         if self.resume_from and os.path.exists(part_path):
+            # Reconcile the partial series against the checkpoint we are
+            # about to resume from: flush cadence (64 rows) and
+            # checkpoint cadence are independent, so a leg killed
+            # mid-march may have flushed PAST the checkpoint step —
+            # replaying from the checkpoint would then append duplicate
+            # rows with time jumping backward (non-monotonic t breaks
+            # the zero-crossing Strouhal/period stats). Row index k
+            # holds step k+1, so a checkpoint at step c owns exactly the
+            # first c rows; drop anything beyond. (The trailing case —
+            # rows missing BEHIND the checkpoint — cannot happen: the
+            # pre_checkpoint hook below flushes before every save.)
+            step_ckpt = int(np.load(self.resume_from)["step"])
             prior = np.loadtxt(part_path, ndmin=2)
             self._force_rows = [
                 (int(r[0]), float(r[1]), float(r[2]), float(r[3]))
-                for r in prior
+                for r in prior if int(r[0]) < step_ckpt
             ]
+            if main and len(self._force_rows) < prior.shape[0]:
+                with open(part_path, "w") as f:
+                    f.write("# timestep time cd cl\n")
+                    for row in self._force_rows:
+                        f.write(f"{row[0]} {row[1]:.6f} {row[2]:.8e} "
+                                f"{row[3]:.8e}\n")
         elif main:
             os.makedirs(output_folder, exist_ok=True)
             with open(part_path, "w") as f:
@@ -188,7 +206,14 @@ class PipeCylinder2D2Simulation(PipeCylinderSimulation):
             if afterStepCallback:
                 afterStepCallback(t)
 
-        out_path = super().solve(output_folder, record)
+        # flush before every checkpoint save (base.solve calls the hook
+        # after the step callback has recorded the checkpointed step):
+        # the on-disk partial can then never trail the checkpoint
+        self.pre_checkpoint = flush
+        try:
+            out_path = super().solve(output_folder, record)
+        finally:
+            self.pre_checkpoint = lambda: None
         flush()
         if not main:
             return out_path

@@ -56,11 +56,18 @@ class Solver(BaseSolver):
         }
 
     def solveStep(self) -> None:
-        # BDF1 for the first step, BDF2 thereafter (reference :300-309)
-        self._bdf = (
-            (1.0, -1.0, 0.0) if self.step_count == 0 else (1.5, -2.0, 0.5)
+        # BDF1 for the first step, BDF2 thereafter (reference :300-309).
+        # Also BDF1 for the first step after a resume from a checkpoint
+        # that predates history saving (_resume_lost_history set by
+        # Scenario.load_checkpoint): u_prev2 is zeros there, and full
+        # BDF2 coefficients would inject 0.5*u_prev2/dt of spurious
+        # transient; one BDF1 step re-seeds the history instead.
+        bdf1 = self.step_count == 0 or getattr(
+            self, "_resume_lost_history", False
         )
+        self._bdf = (1.0, -1.0, 0.0) if bdf1 else (1.5, -2.0, 0.5)
         super().solveStep()
+        self._resume_lost_history = False
 
     def _post_step(self) -> None:
         # u_prev (= u^n) becomes u^{n-1} for the next step; the Scenario

@@ -76,9 +76,11 @@ _SLOW = {
     # test_aux.py
     "test_simple_bifurcation_native_mesh",
     "test_checkpoint_resume",
+    "test_checkpoint_restores_bdf2_history",
     # test_dfg.py (keeps test_dfg_functionals_plausible)
     "test_pipe_cylinder_2d2_records_forces",
     "test_pipe_cylinder_2d2_resume_appends_series",
+    "test_pipe_cylinder_2d2_resume_reconciles_misaligned_series",
     # test_variants.py (keeps test_bdf2_lid)
     "test_aspin_matches_base",
     "test_pressure_backflow_channel",

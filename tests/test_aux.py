@@ -28,6 +28,50 @@ def test_checkpoint_resume(tmp_path):
     assert np.allclose(u_resumed, np.asarray(sc.solver.u_sol))
 
 
+def test_checkpoint_restores_bdf2_history(tmp_path):
+    """Checkpoints carry BDF2's u_prev2; a legacy checkpoint without it
+    makes the solver self-heal with one BDF1 step instead of applying
+    full BDF2 coefficients against a zero history field."""
+    from cfdtpu.scenarios.lid_driven2D import LidDriven2DSimulation
+
+    sc = LidDriven2DSimulation(
+        "stabilized_schur_bdf2", dt=0.01, T=0.03, mu=0.05, nx=8,
+        checkpoint_every=2,
+    )
+    sc.solve(str(tmp_path / "a"))
+    ck = str(tmp_path / "a" / "checkpoint.npz")
+    data = np.load(ck)
+    assert "u_prev2" in data.files
+
+    sc2 = LidDriven2DSimulation(
+        "stabilized_schur_bdf2", dt=0.01, T=0.05, mu=0.05, nx=8,
+        resume_from=ck,
+    )
+    sc2.load_checkpoint(ck)
+    assert np.allclose(
+        np.asarray(sc2.solver.u_prev2), np.asarray(sc.solver.u_prev2)
+    )
+    assert not getattr(sc2.solver, "_resume_lost_history", False)
+    sc2.solver.solveStep()
+    assert sc2.solver._bdf == (1.5, -2.0, 0.5)  # history intact -> BDF2
+
+    # legacy checkpoint (pre-history format): strip u_prev2
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(legacy, **{k: data[k] for k in data.files if k != "u_prev2"})
+    sc3 = LidDriven2DSimulation(
+        "stabilized_schur_bdf2", dt=0.01, T=0.05, mu=0.05, nx=8,
+        resume_from=legacy,
+    )
+    sc3.load_checkpoint(legacy)
+    assert sc3.solver._resume_lost_history
+    sc3.solver.solveStep()
+    assert sc3.solver._bdf == (1.0, -1.0, 0.0)  # BDF1 re-seed step
+    sc3.solver.u_prev = sc3.solver.u_sol
+    sc3.solver.p_prev = sc3.solver.p_sol
+    sc3.solver.solveStep()
+    assert sc3.solver._bdf == (1.5, -2.0, 0.5)  # back to BDF2
+
+
 def test_dfg_interval_checker():
     from cfdtpu.validation import check_dfg_2d1
 

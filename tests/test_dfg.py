@@ -175,3 +175,49 @@ def test_pipe_cylinder_2d2_resume_appends_series(tmp_path):
     # leg-1 rows unchanged by the resumed leg
     np.testing.assert_allclose(full[:2], part1, rtol=1e-12)
     assert np.isfinite(full).all()
+
+
+def test_pipe_cylinder_2d2_resume_reconciles_misaligned_series(tmp_path):
+    """Resuming from a checkpoint OLDER than the last series flush must
+    truncate the partial force series back to the checkpoint step —
+    otherwise the resumed leg re-records duplicate rows with time
+    jumping backward, which breaks the zero-crossing Strouhal stats
+    (flush cadence and checkpoint cadence are independent in a
+    flap-killed campaign leg)."""
+    import shutil
+
+    import numpy as np
+
+    from cfdtpu.scenarios.pipe_cylinder import PipeCylinder2D2Simulation
+
+    out = str(tmp_path / "run")
+    ck = tmp_path / "run" / "checkpoint.npz"
+    ck_old = tmp_path / "ck_step2.npz"
+
+    def grab_old_checkpoint(t):
+        # after step 3's callback the newest checkpoint on disk is the
+        # step-2 one (base.solve saves AFTER the callback)
+        if abs(t - 0.03) < 1e-9 and ck.exists() and not ck_old.exists():
+            shutil.copy(ck, ck_old)
+
+    sc = PipeCylinder2D2Simulation(
+        "stabilized_schur", dt=0.01, T=0.04, res_scale=3.0,
+        checkpoint_every=2,
+    )
+    sc.solve(out, afterStepCallback=grab_old_checkpoint)
+    assert int(np.load(ck_old)["step"]) == 2
+    part1 = np.loadtxt(tmp_path / "run" / "bdforces_partial.txt", ndmin=2)
+    assert part1.shape[0] == 4  # flushed past the old checkpoint
+
+    sc2 = PipeCylinder2D2Simulation(
+        "stabilized_schur", dt=0.01, T=0.05, res_scale=3.0,
+        checkpoint_every=2, resume_from=str(ck_old),
+    )
+    sc2.solve(out)
+    full = np.loadtxt(tmp_path / "run" / "bdforces.txt", ndmin=2)
+    # steps 3-4 re-run from the step-2 checkpoint, then step 5: exactly
+    # one row per step, contiguous indices, strictly monotonic time
+    assert full.shape[0] == 5
+    assert list(full[:, 0]) == [0, 1, 2, 3, 4]
+    assert np.all(np.diff(full[:, 1]) > 0)
+    np.testing.assert_allclose(full[:2], part1[:2], rtol=1e-12)
