@@ -112,6 +112,10 @@ run_bench r5_106k_lag8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
 run_bench r5_106k_bf16g8_lag8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
   BENCH_PC_DTYPE=bf16 BENCH_SUPERNODE_G=8 BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=8
 
+# -- stage 1b: component profile at the bench size (readback-fenced,
+#    tuned config, developed regime) — names where the 1.7 s/step goes
+run_leg PROFILE106 3 1500 python scripts/profile_step.py 0.3 6
+
 # -- stage 2: the ~1M-DOF story (VERDICT items 2 + 3) -------------------
 # 2a: compile-only warm pass at 950k — populates the persistent cache;
 #     incremental across flaps (build lands one window, reuse the next)
