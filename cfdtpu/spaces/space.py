@@ -100,42 +100,110 @@ class FunctionSpace:
         # face's ASCENDING vertex ids, and each cell maps its local
         # lattice index through the exact integer-barycentric
         # permutation (no floating-point coordinate matching).
-        if mesh.dim == 3 and k >= 3:
+        has_face_dofs = False
+        if mesh.dim == 3 and k >= 2:
             facets_local = cell_facets(mesh.cell_type)
-            if any(len(f) != 3 for f in facets_local):
-                raise NotImplementedError(
-                    "degree >= 3 face-interior dofs on hexahedra "
-                    "not yet supported (tensor-face orientation)"
-                )
+            simplex_face = all(len(f) == 3 for f in facets_local)
+            # triangular faces carry interior dofs from k=3 on
+            # ((k-1)(k-2)/2); quad faces already from k=2 ((k-1)^2) —
+            # Q2's face centers fall in this block too
+            has_face_dofs = k >= 3 if simplex_face else k >= 2
+        if has_face_dofs:
+            nfv = 3 if simplex_face else 4
             nf = len(facets_local)
             cell_face_verts = np.stack(
                 [cells[:, list(f)] for f in facets_local], axis=1
-            )  # (nc, nf, 3) global vertex ids in LOCAL face order
-            keys = np.sort(cell_face_verts.reshape(-1, 3), axis=1)
+            )  # (nc, nf, nfv) global vertex ids in LOCAL face order
+            keys = np.sort(cell_face_verts.reshape(-1, nfv), axis=1)
             uniq, inv = np.unique(keys, axis=0, return_inverse=True)
             face_ids = inv.reshape(nc, nf)
-            # local lattice enumeration (matches elements._face_interior):
-            # i in [1, k), j in [1, k-i) -> integer barycentrics
-            # (k-i-j, i, j) wrt the face's vertex triple
-            bary = np.array(
-                [(k - i - j, i, j)
-                 for i in range(1, k) for j in range(1, k - i)],
-                dtype=np.int64,
-            )
-            n_face_dofs = len(bary)
-            canon_lut = np.full((k, k), -1, dtype=np.int64)
-            for idx, (_, b1, b2) in enumerate(bary):
-                canon_lut[b1, b2] = idx
-            for fi in range(nf):
-                local = el.entity_dofs[2][fi]
-                # order[c, m] = which LOCAL vertex is the m-th smallest
-                # global id: canonical barycentric = local bary[order]
-                order = np.argsort(cell_face_verts[:, fi, :], axis=1)
-                base = offset + face_ids[:, fi] * n_face_dofs
-                for j, ld in enumerate(local):
-                    c = bary[j][order]  # (nc, 3) canonical barycentrics
-                    jj = canon_lut[c[:, 1], c[:, 2]]
-                    dofmap[:, ld] = base + jj
+            if simplex_face:
+                # local lattice enumeration (matches
+                # elements._face_interior): i in [1, k), j in [1, k-i)
+                # -> integer barycentrics (k-i-j, i, j) wrt the face's
+                # vertex triple
+                bary = np.array(
+                    [(k - i - j, i, j)
+                     for i in range(1, k) for j in range(1, k - i)],
+                    dtype=np.int64,
+                )
+                n_face_dofs = len(bary)
+                canon_lut = np.full((k, k), -1, dtype=np.int64)
+                for idx, (_, b1, b2) in enumerate(bary):
+                    canon_lut[b1, b2] = idx
+                for fi in range(nf):
+                    local = el.entity_dofs[2][fi]
+                    # order[c, m] = which LOCAL vertex is the m-th
+                    # smallest global id: canonical bary = local
+                    # bary[order]
+                    order = np.argsort(cell_face_verts[:, fi, :], axis=1)
+                    base = offset + face_ids[:, fi] * n_face_dofs
+                    for j, ld in enumerate(local):
+                        c = bary[j][order]  # (nc, 3) canonical bary
+                        jj = canon_lut[c[:, 1], c[:, 2]]
+                        dofmap[:, ld] = base + jj
+            else:
+                # Tensor (quad) faces — hexahedra, the reference's
+                # basix-arbitrary-degree parity gap. Local face corners
+                # are ordered (00, 10, 01, 11) in the face's (s, t)
+                # parametrization (elements/cells.py _FACETS, basix
+                # convention); the element enumerates interior lattice
+                # points j-major: idx = (j-1)*(k-1) + (i-1) at
+                # (s, t) = (i/k, j/k). The canonical frame of a shared
+                # face is defined purely from GLOBAL vertex ids: origin
+                # = corner with the smallest id, alpha-axis toward the
+                # smaller-id adjacent corner — both cells agree on it,
+                # so they hand out identical global dofs for identical
+                # physical points under any of the 8 quad symmetries.
+                m = k - 1
+                n_face_dofs = m * m
+                # corner adjacency and (s, t) coords in the
+                # (00, 10, 01, 11) numbering; diagonals 0-3 / 1-2 are
+                # not adjacent
+                adj = {0: (1, 2), 1: (0, 3), 2: (0, 3), 3: (1, 2)}
+                corner_st = {0: (0, 0), 1: (1, 0), 2: (0, 1), 3: (1, 1)}
+                # perm[case, local_idx] = canonical within-face index,
+                # case = origin*2 + (0 if alpha-axis is the first
+                # adjacent corner else 1)
+                perm = np.zeros((8, n_face_dofs), dtype=np.int64)
+                for o in range(4):
+                    os_, ot = corner_st[o]
+                    for ai in range(2):
+                        a = adj[o][ai]
+                        b = adj[o][1 - ai]
+
+                        def steps_toward(cnr, i, j):
+                            # lattice steps from the origin corner to
+                            # the (i, j) point, measured along the edge
+                            # origin->cnr (adjacent: differs in exactly
+                            # one of s/t)
+                            cs, ct = corner_st[cnr]
+                            if cs != os_:
+                                return i if os_ == 0 else k - i
+                            return j if ot == 0 else k - j
+
+                        for j in range(1, k):
+                            for i in range(1, k):
+                                lidx = (j - 1) * m + (i - 1)
+                                al = steps_toward(a, i, j)
+                                be = steps_toward(b, i, j)
+                                perm[o * 2 + ai, lidx] = (
+                                    (be - 1) * m + (al - 1)
+                                )
+                first_adj = np.array([adj[o][0] for o in range(4)])
+                second_adj = np.array([adj[o][1] for o in range(4)])
+                rows = np.arange(nc)
+                for fi in range(nf):
+                    local = el.entity_dofs[2][fi]
+                    g = cell_face_verts[:, fi, :]  # (nc, 4)
+                    o = np.argmin(g, axis=1)
+                    a_first = (
+                        g[rows, first_adj[o]] < g[rows, second_adj[o]]
+                    )
+                    case = o * 2 + np.where(a_first, 0, 1)
+                    base = offset + face_ids[:, fi] * n_face_dofs
+                    for lidx, ld in enumerate(local):
+                        dofmap[:, ld] = base + perm[case, lidx]
             offset += len(uniq) * n_face_dofs
             self.num_faces = len(uniq)
         else:

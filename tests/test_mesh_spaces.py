@@ -163,6 +163,107 @@ def test_3d_high_degree_interpolation_exact(deg):
             assert abs(uh - f(x)) < 1e-9
 
 
+def _rotated_hex_box(n, seed=0):
+    """Structured hex box with each cell's reference frame replaced by a
+    random cube rotation (the 24 orientation-preserving symmetries in
+    the tensor vertex numbering v = x + 2y + 4z). Geometry is unchanged,
+    but neighbouring cells now see shared quad faces under nontrivial
+    symmetries — the case the face-interior orientation permutation
+    must get right (a plain structured box only exercises the identity)."""
+    import itertools
+
+    from cfdtpu.mesh.mesh import Mesh
+
+    m = create_box((0, 0, 0), (1, 1, 1), (n, n, n),
+                   cell_type="hexahedron")
+    coords = np.array([[v & 1, (v >> 1) & 1, (v >> 2) & 1]
+                       for v in range(8)])
+    rots = []
+    for axes in itertools.permutations(range(3)):
+        for signs in itertools.product((1, -1), repeat=3):
+            R = np.zeros((3, 3))
+            for i, (a, s) in enumerate(zip(axes, signs)):
+                R[i, a] = s
+            if np.linalg.det(R) < 0:
+                continue
+            # local index l sits at reference coord c_l; the same
+            # physical point in the OLD frame is R^{-1}(c_l) (with
+            # sign flips as x -> 1 - x)
+            perm = []
+            for c in coords:
+                old = R.T @ (c - 0.5) + 0.5
+                old = np.round(old).astype(int)
+                perm.append(old[0] + 2 * old[1] + 4 * old[2])
+            rots.append(np.array(perm))
+    assert len(rots) == 24
+    rng = np.random.default_rng(seed)
+    new_cells = np.stack([
+        m.cells[c][rots[rng.integers(24)]] for c in range(m.num_cells)
+    ])
+    return Mesh(points=m.points.copy(), cells=new_cells,
+                cell_type="hexahedron")
+
+
+@pytest.mark.parametrize("deg", [2, 3, 4])
+def test_hex_high_degree_dof_counts(deg):
+    """Hex face-interior dofs (k >= 2 on quad faces: Q2's face centers
+    land here too): entity sum must close, and on a structured box the
+    total must equal the tensor lattice count ((n*deg+1)^3) — a strong
+    global check of the shared-face numbering, under randomly rotated
+    per-cell reference frames."""
+    n = 2
+    m = _rotated_hex_box(n, seed=deg)
+    V = FunctionSpace(m, deg)
+    n_e = deg - 1
+    n_f = (deg - 1) ** 2
+    n_i = (deg - 1) ** 3
+    assert V.num_dofs == (
+        m.num_points + n_e * V.num_edges + n_f * V.num_faces
+        + n_i * m.num_cells
+    )
+    assert V.num_dofs == (n * deg + 1) ** 3
+
+
+@pytest.mark.parametrize("deg", [2, 3, 4])
+def test_hex_high_degree_interpolation_exact(deg):
+    """Degree-k interpolation on hexes must be exact for degree-k
+    polynomials — fails if two cells disagree on a shared quad-face
+    dof's identity or lattice position under any of the 8 face
+    symmetries."""
+    from cfdtpu.elements import LagrangeElement
+
+    m = _rotated_hex_box(2, seed=10 + deg)
+    V = FunctionSpace(m, deg)
+    f = lambda x: x[0] ** deg + 2 * x[1] ** (deg - 1) * x[2] - x[0] * x[1]
+    vals = V.interpolate(f)
+    pts = np.array([[0.3, 0.2, 0.1], [0.1, 0.55, 0.2], [0.7, 0.7, 0.9]])
+    (phi,) = V.element.tabulate(pts, nderiv=0)
+    geom = LagrangeElement.create(m.cell_type, 1)
+    (N,) = geom.tabulate(pts, nderiv=0)
+    for c in range(m.num_cells):
+        verts = m.points[m.cells[c]]
+        for pi, p in enumerate(pts):
+            x = N[pi] @ verts
+            uh = phi[pi] @ vals[V.dofmap[c]]
+            assert abs(uh - f(x)) < 1e-9
+
+
+def test_hex_face_dof_coords_consistent():
+    """Every hex k=3 face dof gets one coordinate regardless of which
+    neighbour wrote it (tensor-face symmetry of the numbering)."""
+    from cfdtpu.elements import LagrangeElement
+
+    m = _rotated_hex_box(3, seed=7)
+    V = FunctionSpace(m, 3)
+    geom = LagrangeElement.create(m.cell_type, 1)
+    (N,) = geom.tabulate(V.element.nodes, nderiv=0)
+    coords = np.einsum("bv,cvg->cbg", N, m.points[m.cells])
+    err = np.abs(
+        V.dof_coords[V.dofmap.reshape(-1)] - coords.reshape(-1, 3)
+    ).max()
+    assert err < 1e-12
+
+
 def test_3d_face_dof_coords_consistent():
     """Every P3 face dof gets one coordinate regardless of which
     neighbour wrote it (barycentric symmetry of the numbering)."""
