@@ -1,11 +1,12 @@
 """Simulation orchestrator.
 
-Rebuild of /root/reference/src/simulation.py: validates arguments, loads the
-scenario module dynamically (first Scenario subclass found by
-introspection), filters constructor kwargs against the scenario signature
-with helpful missing-parameter errors, builds the output directory
-<output_dir>/<scenario>/<timestamp>_<name>/, writes simulation_params.txt
-including the git commit, and runs the scenario.
+Rebuild of /root/reference/src/simulation.py (same orchestration
+contract, original implementation): validates arguments, loads the
+scenario module dynamically (Scenario subclass picked by
+introspection), filters constructor kwargs against the scenario
+signature with helpful missing-parameter errors, builds the output
+directory <output_dir>/<scenario>/<timestamp>_<name>/, writes
+simulation_params.txt including the git commit, and runs the scenario.
 """
 
 from __future__ import annotations
@@ -50,6 +51,51 @@ def resolve_scenario_class(module, scenario_name: str):
     return pool[0][1] if pool else None
 
 
+def _positive_float(label: str, raw) -> float:
+    """Coerce a CLI-supplied time quantity, rejecting junk early so a
+    bad flag fails at construction rather than mid-run."""
+    try:
+        val = float(raw)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"{label}={raw!r} is not a number") from e
+    if val <= 0:
+        raise ValueError(f"{label} must be > 0 (got {val})")
+    return val
+
+
+def filter_ctor_kwargs(cls, provided: dict) -> dict:
+    """Keep only the entries of `provided` that `cls.__init__` accepts.
+
+    This is the framework's config-passthrough mechanism (SURVEY §5.6):
+    every layer forwards its whole kwarg pool and each constructor
+    keeps what its signature names. Raises ValueError listing any
+    required parameters the pool does not cover; if the signature has
+    a **kwargs catch-all, the full pool goes through.
+    """
+    sig = inspect.signature(cls.__init__)
+    accepted: dict = {}
+    unmet = []
+    catch_all = False
+    for pname, param in sig.parameters.items():
+        if pname == "self":
+            continue
+        if param.kind == inspect.Parameter.VAR_KEYWORD:
+            catch_all = True
+        elif pname in provided:
+            accepted[pname] = provided[pname]
+        elif param.default is inspect.Parameter.empty:
+            unmet.append(pname)
+    if unmet:
+        hint = " ".join(f"--{p}=<value>" for p in unmet)
+        raise ValueError(
+            f"{cls.__name__} requires {unmet} but the run configuration "
+            f"does not provide them; add e.g. {hint}"
+        )
+    if catch_all:
+        accepted = {**provided, **accepted}
+    return accepted
+
+
 class Simulation:
     def __init__(
         self,
@@ -61,24 +107,16 @@ class Simulation:
         output_dir: Union[str, Path] = "results",
         **kwargs: Any,
     ):
-        if not name or not isinstance(name, str):
-            raise ValueError("'name' must be a non-empty string.")
+        for label, val in (("name", name), ("solver", solver)):
+            if not (val and isinstance(val, str)):
+                raise ValueError(f"'{label}' must be a non-empty string")
         if not simulation:
             raise ValueError(
-                "'simulation' must be provided (string or Scenario class)."
-            )
-        if not solver or not isinstance(solver, str):
-            raise ValueError(
-                "'solver' must be a non-empty string specifying the solver "
-                "module."
+                "'simulation' is required: a scenario module name or a "
+                "Scenario subclass"
             )
 
         self.name = name
-        self.scenario_name = (
-            simulation
-            if isinstance(simulation, str)
-            else getattr(simulation, "__name__", "custom_scenario")
-        )
         self.solver_name = solver
         self.output_dir = output_dir
         self.kwargs = kwargs
@@ -86,27 +124,17 @@ class Simulation:
         self._scenario_class_override = None
         if inspect.isclass(simulation) and issubclass(simulation, Scenario):
             self._scenario_class_override = simulation
+            self.scenario_name = getattr(
+                simulation, "__name__", "custom_scenario"
+            )
+        else:
+            self.scenario_name = simulation
 
-        try:
-            self.T = float(T)
-        except (TypeError, ValueError) as e:
-            raise ValueError(
-                f"'T' (total time) must be a valid number, got: {T!r}"
-            ) from e
-        try:
-            self.dt = float(dt)
-        except (TypeError, ValueError) as e:
-            raise ValueError(
-                f"'dt' (time step) must be a valid number, got: {dt!r}"
-            ) from e
-
-        if self.T <= 0:
-            raise ValueError(f"'T' (total time) must be positive, got: {self.T}")
-        if self.dt <= 0:
-            raise ValueError(f"'dt' (time step) must be positive, got: {self.dt}")
+        self.T = _positive_float("T", T)
+        self.dt = _positive_float("dt", dt)
         if self.dt > self.T:
             raise ValueError(
-                f"'dt' ({self.dt}) cannot be greater than 'T' ({self.T})"
+                f"time step dt={self.dt} exceeds the horizon T={self.T}"
             )
 
         self.mu = kwargs.get("mu")
@@ -118,107 +146,77 @@ class Simulation:
     def _load_scenario(self) -> Scenario:
         scenario_class = self._scenario_class_override
 
-        if not scenario_class:
+        if scenario_class is None:
             try:
                 module = import_module(
                     f"cfdtpu.scenarios.{self.scenario_name}"
                 )
             except ImportError as e:
-                available = self._list_available_scenarios()
                 raise ImportError(
-                    f"Could not import scenario '{self.scenario_name}'. "
-                    f"Ensure cfdtpu/scenarios/{self.scenario_name}.py "
-                    f"exists.\nUnderlying error: {type(e).__name__}: {e}\n"
-                    f"Available scenarios: {available}"
+                    f"no scenario module cfdtpu/scenarios/"
+                    f"{self.scenario_name}.py ({type(e).__name__}: {e}); "
+                    f"known scenarios: "
+                    f"{', '.join(self._list_available_scenarios())}"
                 ) from e
-
             scenario_class = resolve_scenario_class(
                 module, self.scenario_name
             )
 
-        if not scenario_class:
+        if scenario_class is None:
             raise ValueError(
-                f"No Scenario subclass found for '{self.scenario_name}'. "
-                f"Ensure the module exists and defines a class inheriting "
-                f"from Scenario."
+                f"module cfdtpu.scenarios.{self.scenario_name} defines "
+                f"no Scenario subclass"
             )
 
-        sig = inspect.signature(scenario_class.__init__)
-        available_params = {
+        pool = {
             "solver_name": self.solver_name,
             "dt": self.dt,
             "T": self.T,
+            **self.kwargs,
         }
-        available_params.update(self.kwargs)
-
-        init_args = {}
-        missing_params = []
-        has_var_keyword = False
-        for param_name, param in sig.parameters.items():
-            if param_name == "self":
-                continue
-            if param.kind == inspect.Parameter.VAR_KEYWORD:
-                has_var_keyword = True
-                continue
-            if param_name in available_params:
-                init_args[param_name] = available_params[param_name]
-            elif param.default == inspect.Parameter.empty:
-                missing_params.append(param_name)
-
-        if missing_params:
-            raise ValueError(
-                f"Missing required parameter(s) for scenario "
-                f"'{self.scenario_name}': {missing_params}. Pass them via "
-                f"command line arguments, e.g.: "
-                + " ".join(f"--{p}=<value>" for p in missing_params)
-            )
-
-        if has_var_keyword:
-            for key, value in available_params.items():
-                if key not in init_args:
-                    init_args[key] = value
-
         try:
-            print(
-                f"  [SIM] Instantiating scenario "
-                f"'{self.scenario_name}'...", flush=True
-            )
+            init_args = filter_ctor_kwargs(scenario_class, pool)
+        except ValueError as e:
+            raise ValueError(
+                f"scenario '{self.scenario_name}': {e}"
+            ) from e
+
+        print(
+            f"  [SIM] Instantiating scenario "
+            f"'{self.scenario_name}'...", flush=True
+        )
+        try:
             instance = scenario_class(**init_args)
-            print("  [SIM] Scenario instantiated OK.", flush=True)
-            return instance
         except TypeError as e:
             raise RuntimeError(
-                f"Failed to instantiate scenario '{self.scenario_name}' "
-                f"with arguments {init_args}: {e}"
+                f"scenario '{self.scenario_name}' rejected arguments "
+                f"{sorted(init_args)}: {e}"
             ) from e
+        print("  [SIM] Scenario instantiated OK.", flush=True)
+        return instance
 
     @staticmethod
     def _list_available_scenarios() -> list[str]:
-        scenarios_dir = os.path.join(
-            os.path.dirname(__file__), "scenarios"
-        )
+        here = Path(__file__).parent / "scenarios"
         try:
-            files = os.listdir(scenarios_dir)
-            scenarios = [
-                f[:-3]
-                for f in files
-                if f.endswith(".py") and not f.startswith("_")
-                and f != "base.py"
-            ]
-            return scenarios if scenarios else ["(none found)"]
+            names = sorted(
+                p.stem for p in here.glob("*.py")
+                if p.stem not in ("base",) and not p.stem.startswith("_")
+            )
         except OSError:
             return ["(could not list)"]
+        return names or ["(none found)"]
 
     # ------------------------------------------------------------------
     def run(self, save_path: Optional[Union[str, Path]] = None) -> str:
         if save_path is None:
-            timestamp = datetime.now().strftime("%Y-%m-%dT%H.%M.%S")
-            folder_name = f"{timestamp}_{self.name}"
-            save_path = os.path.abspath(
-                os.path.join(self.output_dir, self.scenario_name, folder_name)
+            stamp = datetime.now().strftime("%Y-%m-%dT%H.%M.%S")
+            save_path = (
+                Path(self.output_dir)
+                / self.scenario_name
+                / f"{stamp}_{self.name}"
             )
-        else:
-            save_path = os.path.abspath(save_path)
+        save_path = os.path.abspath(save_path)
 
         # rank-0 I/O guard + barrier before compute, mirroring the
         # reference's `if rank == 0` + comm.barrier()
@@ -231,34 +229,7 @@ class Simulation:
             return self.scenario_instance.solve(output_folder=save_path)
 
         os.makedirs(save_path, exist_ok=True)
-        with open(os.path.join(save_path, "simulation_params.txt"), "w") as f:
-            f.write(f"Scenario: {self.scenario_name}\n")
-            f.write(f"Run Name: {self.name}\n")
-            f.write(f"Solver: {self.solver_name}\n")
-            f.write(
-                f"mu: {self.mu if self.mu is not None else '(scenario default)'}\n"
-            )
-            f.write(
-                f"rho: {self.rho if self.rho is not None else '(scenario default)'}\n"
-            )
-            f.write(f"T: {self.T}\n")
-            f.write(f"dt: {self.dt}\n")
-            for k, v in self.kwargs.items():
-                if k not in ("mu", "rho"):
-                    f.write(f"{k}: {v}\n")
-            try:
-                commit_id = (
-                    subprocess.check_output(
-                        ["git", "rev-parse", "HEAD"],
-                        stderr=subprocess.DEVNULL,
-                        cwd=os.path.dirname(__file__),
-                    )
-                    .strip()
-                    .decode("utf-8")
-                )
-                f.write(f"Source Code Version (Git Commit): {commit_id}\n")
-            except Exception:
-                f.write("Source Code Version: Unknown (git not valid)\n")
+        self._write_params(save_path)
 
         print(
             f"Initializing simulation '{self.name}' with scenario "
@@ -270,3 +241,32 @@ class Simulation:
         result_path = self.scenario_instance.solve(output_folder=save_path)
         print(f"Simulation completed. Results saved to: {result_path}")
         return result_path
+
+    def _write_params(self, save_path: str) -> None:
+        """Record the run configuration + code version next to the
+        outputs (simulation_params.txt, same artifact the reference
+        emits)."""
+        lines = [
+            f"Scenario: {self.scenario_name}",
+            f"Run Name: {self.name}",
+            f"Solver: {self.solver_name}",
+            f"mu: {'(scenario default)' if self.mu is None else self.mu}",
+            f"rho: {'(scenario default)' if self.rho is None else self.rho}",
+            f"T: {self.T}",
+            f"dt: {self.dt}",
+        ]
+        lines += [
+            f"{k}: {v}" for k, v in self.kwargs.items()
+            if k not in ("mu", "rho")
+        ]
+        try:
+            rev = subprocess.check_output(
+                ["git", "rev-parse", "HEAD"],
+                stderr=subprocess.DEVNULL,
+                cwd=os.path.dirname(__file__),
+            ).decode().strip()
+            lines.append(f"Source Code Version (Git Commit): {rev}")
+        except Exception:
+            lines.append("Source Code Version: Unknown (git not valid)")
+        with open(os.path.join(save_path, "simulation_params.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
