@@ -131,6 +131,18 @@ run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
   BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=3 \
   BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=2700
 
+# 2c': reuse-step cost breakdown at the bench size — PROFILE106 left
+#      ~600 of 793 ms unaccounted; this A/Bs const-args vs closure-const
+#      jits (H2: XLA gather specialization) + dispatch + newton overhead
+run_leg PROFILE_REUSE 3 1500 python scripts/profile_reuse.py 0.3 6
+
+# 2d: W-cycle arm at 500k — the 486k frozen-Jacobian diag measured
+#     18 its/Newton with wcycle vs 23-26 base (PERF.md r5): the best
+#     candidate for the at-scale default
+run_bench r5_500k_wcycle BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
+  BENCH_RES_SCALE=0.14 BENCH_WARMUP=4 BENCH_STEPS=4 \
+  BENCH_AMG_WCYCLE=1 BENCH_TIMEOUT=2400
+
 # -- stage 3: DFG 2D-1 accuracy (VERDICT item 4) ------------------------
 TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
 TUNED_P2="$TUNED,\"pc_inner_u\":3"
