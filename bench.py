@@ -93,6 +93,8 @@ def _dfg_scenario():
         kw["snes_ksp_ew"] = os.environ["BENCH_EW"] != "0"
     if os.environ.get("BENCH_AMG_SMOOTH"):
         kw["pc_amg_smooth"] = int(os.environ["BENCH_AMG_SMOOTH"])
+    if os.environ.get("BENCH_KSP_RESTART"):
+        kw["ksp_restart"] = int(os.environ["BENCH_KSP_RESTART"])
     return DFG1Benchmark(
         "stabilized_schur", dt=0.05, T=1e9, res_scale=res_scale,
         dtype="auto", **kw,

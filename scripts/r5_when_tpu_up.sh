@@ -116,6 +116,21 @@ run_bench r5_106k_bf16g8_lag8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGE
 #    tuned config, developed regime) — names where the 1.7 s/step goes
 run_leg PROFILE106 3 1500 python scripts/profile_step.py 0.3 6
 
+# -- stage 1c: closure-const jit arm — PROFILE106 accounted only ~190 of
+#    793 ms/step with closure-const piece timings; production passes all
+#    index maps as jit ARGS (const-args). If XLA's constant
+#    specialization is the gap, this arm shows it directly in steps/s.
+#    106k closure-const compiles fit the relay (round-1/2 ran <=311k so).
+run_bench r5_106k_noconsts BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
+  BENCH_PROBE_BUDGET=120 CFDTPU_CONST_ARGS=0
+
+# -- stage 1d: Krylov-buffer arm — the CPU profile_reuse validation
+#    measured 10 identical gmres its 12x slower at restart 60 than 10;
+#    the developed regime runs ~9.5 its/solve, so restart 20 loses
+#    nothing to truncation (round-2: 60->150 changed steady counts <10%)
+run_bench r5_106k_restart20 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
+  BENCH_PROBE_BUDGET=120 BENCH_KSP_RESTART=20
+
 # -- stage 2: the ~1M-DOF story (VERDICT items 2 + 3) -------------------
 # 2a: compile-only warm pass at 950k — populates the persistent cache;
 #     incremental across flaps (build lands one window, reuse the next)
