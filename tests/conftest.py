@@ -52,6 +52,8 @@ _SLOW = {
     "test_vascularbc_fixed_point",
     "test_ipcs_midpoint_lid",
     "test_ipcs_assembled_matches_element",
+    "test_hex_p3_pressure_channel",
+    "test_hex_q2_ipcs_channel",
     # test_solver.py
     "test_ghia_re400_profile",
     "test_nodebsr_matches_element_operator",
