@@ -27,15 +27,57 @@ dot(nabla_grad(u)*n, v) therefore reads sum_j grad_u[j, i] n_j here.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..assembly import FacetQuadrature
 from ..elements import LagrangeElement, quadrature
 from ..spaces import FunctionSpace
 from ..utils import det_and_inv, SortedScatter
 from .facet_terms import natural_correction
+
+
+def _asm_chunk(nc: int) -> int:
+    """Element chunk size for assembly maps, 0 = no chunking.
+
+    A full-mesh vmap of the element kernel materializes rank-5 jvp temps
+    like f32[nc, nbu, nq, d, d]; on TPU the (8, 128) tiling of the two
+    minor dims pads those ~19-28x, so at 631k cells (the ~950k-DOF DFG
+    mesh) the Jacobian build alone wants 17.7 GB of HBM temps for 1.4 GB
+    of payload and the compile OOMs (v5e: 15.75 GB). Chunking the map
+    (lax.map over chunks, vmap inside) bounds the temps by the chunk
+    size with no loss of parallel width at 64k elements per chunk.
+    Meshes at or below 2 chunks keep the single-vmap HLO so their cached
+    executables (the 106k bench) stay valid.
+    """
+    c = int(os.environ.get("CFDTPU_ASM_CHUNK", "65536"))
+    if c <= 0 or nc <= 2 * c:
+        return 0
+    return c
+
+
+def _map_in_chunks(fn, mapped_args, chunk: int):
+    """lax.map(fn-over-chunks) with edge padding: `mapped_args` is a
+    pytree of arrays sharing leading dim nc; fn maps a chunk pytree
+    (leading dim `chunk`) to a pytree of arrays with leading dim
+    `chunk`. Returns outputs with leading dim nc."""
+    nc = jax.tree_util.tree_leaves(mapped_args)[0].shape[0]
+    k = -(-nc // chunk)
+    pad = k * chunk - nc
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)])
+        return a.reshape((k, chunk) + a.shape[1:])
+
+    out = lax.map(fn, jax.tree_util.tree_map(prep, mapped_args))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((k * chunk,) + o.shape[2:])[:nc], out
+    )
 
 
 def _eps_for(dtype) -> float:
@@ -292,9 +334,17 @@ class StabilizedNSForm:
         u_e = u[self.dofmap_u]
         p_e = p[self.dofmap_p]
         aux_e = tuple(a[self.dofmap_u] for a in aux)
-        ru_e, rp_e = kernel(
-            u_e, p_e, aux_e, self.cell_coords, self.cell_h, prm
-        )
+        chunk = _asm_chunk(self.mesh.num_cells)
+        if chunk:
+            ru_e, rp_e = _map_in_chunks(
+                lambda t: kernel(t[0], t[1], t[2], t[3], t[4], prm),
+                (u_e, p_e, aux_e, self.cell_coords, self.cell_h),
+                chunk,
+            )
+        else:
+            ru_e, rp_e = kernel(
+                u_e, p_e, aux_e, self.cell_coords, self.cell_h, prm
+            )
         nbu = self.V.element.ndofs
         ru = self._scatter_u(ru_e.reshape(-1, self.dim))
         rp = self._scatter_p(rp_e.reshape(-1))
@@ -343,9 +393,16 @@ class StabilizedNSForm:
         )
         aux_e = tuple(a[self.dofmap_u] for a in aux)
         fk = self._flat_cell_kernel()
-        A_cells = jax.vmap(
-            jax.jacfwd(fk), in_axes=(0, 0, 0, 0, None)
-        )(xe, aux_e, self.cell_coords, self.cell_h, prm)
+        jac = jax.vmap(jax.jacfwd(fk), in_axes=(0, 0, 0, 0, None))
+        chunk = _asm_chunk(self.mesh.num_cells)
+        if chunk:
+            A_cells = _map_in_chunks(
+                lambda t: jac(t[0], t[1], t[2], t[3], prm),
+                (xe, aux_e, self.cell_coords, self.cell_h),
+                chunk,
+            )
+        else:
+            A_cells = jac(xe, aux_e, self.cell_coords, self.cell_h, prm)
 
         A_blocks = []
         for block in self._facet_blocks:
