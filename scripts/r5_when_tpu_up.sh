@@ -65,7 +65,7 @@ run_bench() {  # name, env...
   # error lines, and zero-value lines — a stage only completes on a
   # real TPU measurement (ADVICE r4: the error line contains no '_cpu_'
   # and used to complete the stage, contradicting the invariant)
-  if echo "$line" | grep -Eq '_cpu_|"skipped"|"error"|"value": 0\.0[,}]'; then
+  if [ -z "$line" ] || echo "$line" | grep -Eq '_cpu_|"skipped"|"error"|"value": 0\.0[,}]'; then
     echo "{\"tag\": \"${name}_retry\", \"exit\": $code, \"result\": ${line:-null}}" >> "$LOG"
     bail "worker flapped / no TPU result during $name"
   fi
@@ -157,6 +157,13 @@ run_leg PROFILE_REUSE 3 1500 python scripts/profile_reuse.py 0.3 6
 run_bench r5_500k_wcycle BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
   BENCH_RES_SCALE=0.14 BENCH_WARMUP=4 BENCH_STEPS=4 \
   BENCH_AMG_WCYCLE=1 BENCH_TIMEOUT=2400
+
+# -- stage 2e: combined winners arm — restart20 (+5%) and noconsts
+#    (+4.5%) each beat dev independently with identical iteration
+#    counts; if they compose, this is the new official default config.
+#    After stage 2 so its fresh 106k compile never starves a 950k window.
+run_bench r5_106k_r20nc BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
+  BENCH_PROBE_BUDGET=120 BENCH_KSP_RESTART=20 CFDTPU_CONST_ARGS=0
 
 # -- stage 3: DFG 2D-1 accuracy (VERDICT item 4) ------------------------
 TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
