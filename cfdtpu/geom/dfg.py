@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..mesh import Mesh
+from ..mesh.cache import cache_path, load_mesh, save_mesh
 from .delaunay2d import generate_mesh_2d, polyline_loop
 
 L = 2.2
@@ -30,6 +31,18 @@ def generate_dfg_mesh(
     growing to H/13 within 2H (the reference's gmsh Threshold field)."""
     res_min = (R / 6 if res_min is None else res_min) * res_scale
     res_max = (H / 13 if res_max is None else res_max) * res_scale
+
+    # disk cache (mesh/cache.py): keyed by the full sizing tuple; the
+    # TPU campaign retries re-pay this build (~20 s at res_scale 0.10)
+    # on every worker-flap recovery otherwise
+    ckey = cache_path("dfg2d", (
+        float(res_min), float(res_max), np.dtype(dtype).name,
+        int(inlet_marker), int(outlet_marker), int(wall_marker),
+        int(obstacle_marker),
+    ))
+    cached = load_mesh(ckey)
+    if cached is not None:
+        return cached
 
     def size_fn(x):  # batched: points along the LAST axis
         x = np.asarray(x)
@@ -62,4 +75,5 @@ def generate_dfg_mesh(
         lambda x: np.hypot(x[0] - CX, x[1] - CY) < R + res_min,
         obstacle_marker,
     )
+    save_mesh(ckey, m)
     return m
