@@ -110,11 +110,33 @@ def _dfg_scenario():
     )
 
 
+def _trace(msg: str) -> None:
+    """Durable per-phase trace: flap-killed children lose their stderr
+    (the parent's subprocess.run(timeout=...) discards it), so append
+    milestones to a tracked sidecar file — every failed TPU attempt
+    still reports where its up-window went."""
+    path = os.environ.get(
+        "BENCH_TRACE_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "validation_runs", "bench_trace.log"),
+    )
+    try:
+        with open(path, "a") as f:
+            f.write(f"{time.strftime('%H:%M:%S')} [pid {os.getpid()}] "
+                    f"{msg}\n")
+    except OSError:
+        pass
+
+
 def _bench_dfg(steps: int):
     import jax.numpy as jnp
 
+    t0 = time.perf_counter()
+    _trace(f"dfg setup start (res_scale="
+           f"{os.environ.get('BENCH_RES_SCALE', '0.3')})")
     sc = _dfg_scenario()
     s = sc.solver
+    _trace(f"setup done (+{time.perf_counter() - t0:.0f}s)")
     # warmup: step 1 pays the compile; the remaining warmup steps
     # (BENCH_WARMUP, default 6) move the measurement window out of the
     # impulsive-start transient (~4-5 Newton its/step there) into the
@@ -122,10 +144,14 @@ def _bench_dfg(steps: int):
     # production target is about. Round-4 lesson: with warmup 1 the
     # official record measured the transient (0.3959 @106k) while the
     # identical stack sustained 0.59-0.60 developed.
-    for _ in range(int(os.environ.get("BENCH_WARMUP", "6"))):
+    for i in range(int(os.environ.get("BENCH_WARMUP", "6"))):
         s.solveStep()
         s.u_prev, s.p_prev = s.u_sol, s.p_sol
+        if i == 0:
+            _trace(f"warmup step 1 done (+{time.perf_counter() - t0:.0f}s"
+                   " incl. compile/executable load)")
     float(jnp.sum(s.u_sol))  # true fence (axon acks optimistically)
+    _trace(f"warmup done (+{time.perf_counter() - t0:.0f}s)")
 
     t0 = time.perf_counter()
     checked = {}
@@ -138,6 +164,7 @@ def _bench_dfg(steps: int):
     # block_until_ready acks optimistically (PERF.md round-2 note)
     float(jnp.sum(s.u_sol))
     elapsed = time.perf_counter() - t0
+    _trace(f"measured {steps} steps in {elapsed:.1f}s")
     ndofs = s.V.num_global_dofs + s.Q.num_global_dofs
     # diagnosis riders: last checked-window iteration counts — with
     # these in the JSON line every campaign measurement also says WHY

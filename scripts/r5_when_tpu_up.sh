@@ -98,7 +98,7 @@ run_leg() {  # marker max_legs timeout cmd...
 }
 
 export R5_RETRY_r5_950k_compile=24   # incremental cache progress per try
-export R5_RETRY_r5_950k=10
+export R5_RETRY_r5_950k=24  # cheap retries now: mesh cached, execs cached
 
 while [ ! -f /tmp/tpu_up ]; do sleep 60; done
 say "TPU worker is back ($(cat /tmp/tpu_up)); starting round-5 queue"
@@ -143,7 +143,7 @@ run_bench r5_500k_warm BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
 # 2c: the 950k measurement itself — executables reload from the cache,
 #     so the up-window only pays setup (~2 min) + steps
 run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
-  BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=3 \
+  BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=2 \
   BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=2700
 
 # 2c': reuse-step cost breakdown at the bench size — PROFILE106 left
