@@ -14,13 +14,13 @@ import jax, jax.numpy as jnp
 assert float((jnp.ones((256,256))@jnp.ones((256,256))).sum())==256**3
 " 2>/dev/null; do
     echo "[sup] $(date +%H:%M:%S) worker down" >> "$SLOG"
-    sleep 90
+    sleep 20
   done
   date > /tmp/tpu_up
   echo "[sup] $(date +%H:%M:%S) worker up, running queue pass" >> "$SLOG"
   bash "$QUEUE"
   echo "[sup] $(date +%H:%M:%S) queue pass ended" >> "$SLOG"
-  sleep 60
+  sleep 30
 done
 # NOTE: run this INSTEAD of the queue script directly — the axon worker
 # flaps on a minutes scale; this loop re-passes after every recovery,
