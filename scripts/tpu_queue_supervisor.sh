@@ -9,7 +9,7 @@ SLOG=${2:-/tmp/r5_supervisor.log}
 cd "$(dirname "$0")/.."
 while true; do
   rm -f /tmp/tpu_up
-  until timeout 120 python -c "
+  until timeout 30 python -c "
 import jax, jax.numpy as jnp
 assert float((jnp.ones((256,256))@jnp.ones((256,256))).sum())==256**3
 " 2>/dev/null; do
