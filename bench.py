@@ -95,6 +95,8 @@ def _dfg_scenario():
         kw["pc_amg_smooth"] = int(os.environ["BENCH_AMG_SMOOTH"])
     if os.environ.get("BENCH_KSP_RESTART"):
         kw["ksp_restart"] = int(os.environ["BENCH_KSP_RESTART"])
+    if os.environ.get("BENCH_KSP_ORTHO_CHUNK"):
+        kw["ksp_ortho_chunk"] = int(os.environ["BENCH_KSP_ORTHO_CHUNK"])
     elif res_scale >= 0.3:
         # Default at the official 106k-and-smaller sizes: restart 20
         # measured 1.2087 steps/s vs 1.1514 at restart 60 with identical

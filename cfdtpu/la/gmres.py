@@ -82,6 +82,37 @@ def gmres_fixed(matvec, b, precond=None, m: int = 10,
     return Z.T @ y
 
 
+def _chunked_cgs(V, w, j, m, C, red, dt):
+    """One classical-Gram-Schmidt sweep reading only the ACTIVE basis:
+    h = V[0..j] . w and w <- w - V[0..j]^T h, processed in C-row chunks
+    via dynamic_slice so per-iteration memory traffic tracks ~j (rounded
+    up to C), not the full restart buffer m. The fixed-shape sweep reads
+    all m+1 rows every iteration — measured 12x slower at restart 60
+    than 10 for identical iterations (PERF.md round-5 H4 note); at
+    950k DOF the (61, n) basis is ~550 MB, so full-buffer sweeps are
+    the dominant per-iteration cost at scale. Returns (h, w_new) with h
+    zero beyond row j (same contract as the masked full sweep)."""
+    n = V.shape[1]
+    nch = j // C + 1  # chunks covering rows 0..j (j traced is fine)
+
+    def dots(c, h):
+        Vc = jax.lax.dynamic_slice(V, (c * C, 0), (C, n))
+        mask = (c * C + jnp.arange(C) <= j).astype(dt)
+        return jax.lax.dynamic_update_slice(
+            h, red(Vc @ w) * mask, (c * C,)
+        )
+
+    h = jax.lax.fori_loop(0, nch, dots, jnp.zeros(m + 1, dt))
+
+    def correct(c, acc):
+        Vc = jax.lax.dynamic_slice(V, (c * C, 0), (C, n))
+        hc = jax.lax.dynamic_slice(h, (c * C,), (C,))
+        return acc + Vc.T @ hc
+
+    w = w - jax.lax.fori_loop(0, nch, correct, jnp.zeros(n, dt))
+    return h, w
+
+
 def fgmres(
     matvec,
     b,
@@ -92,6 +123,7 @@ def fgmres(
     rtol: float = 1e-5,
     atol: float = 0.0,
     reduce=None,
+    ortho_chunk: int = 0,
 ):
     """Solve A x = b with flexible right-preconditioned GMRES.
 
@@ -103,6 +135,11 @@ def fgmres(
         restart: Krylov dimension m
         maxiter: total iteration cap
         rtol/atol: stop when ||b - A x|| <= max(rtol*||b||, atol)
+        ortho_chunk: 0 = fixed-shape CGS2 sweeps over the full (m+1, n)
+            basis (the original HLO — cached executables depend on it);
+            C > 0 = chunked sweeps reading only the active basis rows
+            (ceil((j+1)/C) C-row chunks), cutting per-iteration traffic
+            when the solve converges well before the restart length.
 
     Returns:
         (x, info) with info = {iters, resnorm, converged}.
@@ -146,11 +183,16 @@ def fgmres(
             Z = Z.at[j].set(z)
 
             # CGS2: project against V[0..j] (mask rows > j)
-            mask = (jnp.arange(m + 1) <= j).astype(dt)
-            h1 = _red(V @ w) * mask
-            w = w - V.T @ h1
-            h2 = _red(V @ w) * mask
-            w = w - V.T @ h2
+            if ortho_chunk > 0:
+                C = min(int(ortho_chunk), m + 1)
+                h1, w = _chunked_cgs(V, w, j, m, C, _red, dt)
+                h2, w = _chunked_cgs(V, w, j, m, C, _red, dt)
+            else:
+                mask = (jnp.arange(m + 1) <= j).astype(dt)
+                h1 = _red(V @ w) * mask
+                w = w - V.T @ h1
+                h2 = _red(V @ w) * mask
+                w = w - V.T @ h2
             h = h1 + h2
             wnorm = _norm(w)
             h = h.at[j + 1].set(wnorm)

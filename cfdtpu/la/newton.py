@@ -29,6 +29,9 @@ class NewtonParams:
     ksp_atol: float = 0.0
     ksp_restart: int = 60
     ksp_maxiter: int = 1000
+    # chunked CGS2 sweeps in fgmres (0 = full-buffer fixed-shape sweeps;
+    # cached executables depend on 0 -- see la/gmres.py::_chunked_cgs)
+    ksp_ortho_chunk: int = 0
     ls_max_halvings: int = 6
     ls_alpha: float = 1e-4
     # Eisenstat-Walker adaptive forcing (PETSc -snes_ksp_ew, used by the
@@ -142,6 +145,7 @@ def newton_solve(
                 rtol=ksp_rtol,
                 atol=p.ksp_atol,
                 reduce=shard_reduce,
+                ortho_chunk=p.ksp_ortho_chunk,
             )
             dx = from_local(dx_loc)
         else:
@@ -154,6 +158,7 @@ def newton_solve(
                 rtol=ksp_rtol,
                 atol=p.ksp_atol,
                 reduce=reduce,
+                ortho_chunk=p.ksp_ortho_chunk,
             )
         if project is not None:
             dx = project(dx)

@@ -63,6 +63,7 @@ class Solver(SolverBase):
         snes_max_it: int = 100,
         ksp_rtol: float | None = None,
         ksp_restart: int = 60,
+        ksp_ortho_chunk: int = 0,
         ksp_max_it: int = 1000,
         quad_degree: int | None = None,
         n_shards: int | None = None,
@@ -188,6 +189,7 @@ class Solver(SolverBase):
             stol=float(snes_stol),
             ksp_rtol=float(ksp_rtol),
             ksp_restart=int(ksp_restart),
+            ksp_ortho_chunk=int(ksp_ortho_chunk),
             ksp_maxiter=int(ksp_max_it),
             ew=bool(snes_ksp_ew),
             pc_lag=bool(snes_lag_preconditioner),

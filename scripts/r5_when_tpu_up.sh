@@ -165,6 +165,15 @@ run_bench r5_500k_wcycle BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
 run_bench r5_106k_r20nc BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
   BENCH_PROBE_BUDGET=120 BENCH_KSP_RESTART=20 CFDTPU_CONST_ARGS=0
 
+# -- stage 2f: chunked-CGS2 arm at the production restart 60 — per-
+#    iteration Krylov traffic tracks the ACTIVE basis (~j rounded to 8)
+#    instead of the full 61-row buffer (la/gmres.py::_chunked_cgs); the
+#    H4 CPU note measured the full-buffer sweep 12x slower at restart 60
+#    than 10 for identical its. If this beats restart20, it becomes the
+#    default everywhere (incl. 500k/950k where restart must stay 60).
+run_bench r5_106k_oc8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
+  BENCH_PROBE_BUDGET=120 BENCH_KSP_RESTART=60 BENCH_KSP_ORTHO_CHUNK=8
+
 # -- stage 3: DFG 2D-1 accuracy (VERDICT item 4) ------------------------
 TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
 TUNED_P2="$TUNED,\"pc_inner_u\":3"
