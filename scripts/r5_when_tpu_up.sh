@@ -30,7 +30,7 @@ say() { echo "[r5-up] $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
 bail() { say "$* — ending pass (supervisor re-passes on recovery)"; exit 1; }
 
 probe() {
-  timeout 120 python -c "
+  timeout 30 python -c "
 import jax, jax.numpy as jnp
 assert float((jnp.ones((256,256))@jnp.ones((256,256))).sum())==256**3
 " 2>/dev/null
