@@ -130,6 +130,13 @@ def _trace(msg: str) -> None:
         pass
 
 
+# best partial measurement of the current child: the watchdog/exception
+# paths print it so a worker flap mid-window still lands the steps that
+# DID complete (the 950k stage died three times with one measured step
+# fenced but unreported)
+_PARTIAL = {"line": None}
+
+
 def _bench_dfg(steps: int):
     import jax.numpy as jnp
 
@@ -155,19 +162,39 @@ def _bench_dfg(steps: int):
     float(jnp.sum(s.u_sol))  # true fence (axon acks optimistically)
     _trace(f"warmup done (+{time.perf_counter() - t0:.0f}s)")
 
+    # BENCH_STEP_FENCE=1 (big-size campaign stages): fence after EVERY
+    # measured step and keep a durable partial result. The ~52 ms
+    # readback is noise against a 950k step (~20-40 s) but would cost
+    # ~6% at the official 106k size, so it stays opt-in.
+    step_fence = os.environ.get("BENCH_STEP_FENCE", "0") == "1"
+    ndofs = s.V.num_global_dofs + s.Q.num_global_dofs
     t0 = time.perf_counter()
     checked = {}
+    done = 0
     for _ in range(steps):
         s.solveStep()
         s.u_prev, s.p_prev = s.u_sol, s.p_sol
         if "ksp_iters" in (s.last_stats or {}):
             checked = s.last_stats
+        if step_fence:
+            float(jnp.sum(s.u_sol))
+            done += 1
+            el = time.perf_counter() - t0
+            _PARTIAL["line"] = {
+                "metric": f"dfg_2d1_{ndofs}dof_steps",
+                "value": round(done / el, 4),
+                "unit": "steps/sec/chip",
+                "vs_baseline": round(done / el / 5.0, 4),
+                "partial_steps": done,
+                **{k: int(v) for k, v in checked.items()
+                   if k in ("newton_iters", "ksp_iters")},
+            }
+            _trace(f"measured step {done}/{steps} fenced (+{el:.1f}s)")
     # scalar readback: the only real fence on the axon relay —
     # block_until_ready acks optimistically (PERF.md round-2 note)
     float(jnp.sum(s.u_sol))
     elapsed = time.perf_counter() - t0
     _trace(f"measured {steps} steps in {elapsed:.1f}s")
-    ndofs = s.V.num_global_dofs + s.Q.num_global_dofs
     # diagnosis riders: last checked-window iteration counts — with
     # these in the JSON line every campaign measurement also says WHY
     # it was slow (PC iteration growth vs per-iteration cost)
@@ -333,6 +360,11 @@ def _run_child():
     import signal
 
     def _on_timeout(signum, frame):
+        if _PARTIAL["line"]:
+            # a worker hang after >=1 fenced measured step: report the
+            # completed steps as the result instead of dying empty
+            print(json.dumps(_PARTIAL["line"]), flush=True)
+            os._exit(0)
         print(json.dumps({
             "metric": f"{scenario}_bench_timeout",
             "value": 0.0,
@@ -367,6 +399,11 @@ def _run_child():
         print(json.dumps(result), flush=True)
         return 0
     except Exception as e:
+        if _PARTIAL["line"]:
+            # worker flapped mid-window but >=1 measured step is fenced:
+            # that IS a measurement at the stage size — land it
+            print(json.dumps(_PARTIAL["line"]), flush=True)
+            return 0
         print(json.dumps({
             "metric": f"{scenario}_bench_failed",
             "value": 0.0,

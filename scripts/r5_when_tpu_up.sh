@@ -29,6 +29,26 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=10
 say() { echo "[r5-up] $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
 bail() { say "$* — ending pass (supervisor re-passes on recovery)"; exit 1; }
 
+# Single-core host: CPU side jobs (e.g. the P2 accuracy insurance march)
+# starve big-mesh setup during precious worker up-windows — the 950k
+# setup measured 90 s idle vs 472-638 s contended. Jobs register their
+# PID in $PAUSE_FILE; every pass suspends them for its duration and
+# resumes them however the pass ends (they keep marching while the
+# worker is down, which is most of the time).
+PAUSE_FILE=/tmp/bench_pause.pids
+_with_kids() {  # pid -> pid + descendants (wrappers respawn legs)
+  local p=$1; echo "$p"
+  for c in $(ps -o pid= --ppid "$p" 2>/dev/null); do _with_kids "$c"; done
+}
+_signal_cpu_jobs() {  # sig
+  [ -f "$PAUSE_FILE" ] || return 0
+  while read -r p; do
+    for q in $(_with_kids "$p"); do kill "-$1" "$q" 2>/dev/null || true; done
+  done < "$PAUSE_FILE"
+}
+trap '_signal_cpu_jobs CONT' EXIT
+_signal_cpu_jobs STOP
+
 probe() {
   timeout 30 python -c "
 import jax, jax.numpy as jnp
@@ -141,10 +161,24 @@ run_bench r5_950k_compile BENCH_COMPILE_ONLY=1 BENCH_SKIP_SMALL=1 \
 run_bench r5_500k_warm BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
   BENCH_RES_SCALE=0.14 BENCH_WARMUP=4 BENCH_STEPS=4 BENCH_TIMEOUT=2400
 # 2c: the 950k measurement itself — executables reload from the cache,
-#     so the up-window only pays setup (~2 min) + steps
+#     so the up-window only pays setup (~2 min) + steps. STEP_FENCE: a
+#     flap after any fenced measured step still lands that step's
+#     steps/s as the stage result (three attempts died between warmup
+#     and the 2-step window's end).
 run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
-  BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=2 \
+  BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=3 \
+  BENCH_STEP_FENCE=1 \
   BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=2700
+
+# -- stage 3: DFG 2D-1 accuracy (VERDICT item 4, open since round 2 —
+#    ahead of the optional tuning arms below) --------------------------
+TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
+TUNED_P2="$TUNED,\"pc_inner_u\":3"
+run_leg ACC_p2_dp   8 1500 python scripts/validate_dfg2d1.py 0.5 0.05 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
+run_leg ACC_ring_cl 8 1500 python scripts/validate_dfg2d1.py 0.25 0.05 2e-6 10 "{\"tag\":\"ringcl\",\"res_min\":0.004,$TUNED}"
+
+# -- stage 4: DFG 2D-2 rerun at res 0.35 (VERDICT item 7) --------------
+run_leg DFG2D2 12 1500 python scripts/validate_dfg2d2.py 0.35 12 0.0025
 
 # 2c': reuse-step cost breakdown at the bench size — PROFILE106 left
 #      ~600 of 793 ms unaccounted; this A/Bs const-args vs closure-const
@@ -161,7 +195,6 @@ run_bench r5_500k_wcycle BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
 # -- stage 2e: combined winners arm — restart20 (+5%) and noconsts
 #    (+4.5%) each beat dev independently with identical iteration
 #    counts; if they compose, this is the new official default config.
-#    After stage 2 so its fresh 106k compile never starves a 950k window.
 run_bench r5_106k_r20nc BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
   BENCH_PROBE_BUDGET=120 BENCH_KSP_RESTART=20 CFDTPU_CONST_ARGS=0
 
@@ -174,15 +207,9 @@ run_bench r5_106k_r20nc BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
 run_bench r5_106k_oc8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
   BENCH_PROBE_BUDGET=120 BENCH_KSP_RESTART=60 BENCH_KSP_ORTHO_CHUNK=8
 
-# -- stage 3: DFG 2D-1 accuracy (VERDICT item 4) ------------------------
-TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
-TUNED_P2="$TUNED,\"pc_inner_u\":3"
-run_leg ACC_p2_dp   8 1500 python scripts/validate_dfg2d1.py 0.5 0.05 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
-run_leg ACC_ring_cl 8 1500 python scripts/validate_dfg2d1.py 0.25 0.05 2e-6 10 "{\"tag\":\"ringcl\",\"res_min\":0.004,$TUNED}"
+# -- stage 3b: P2 + fine ring (after the tuning arms: p2dp + ringcl
+#    adjudicate Δp and c_L separately first; this is the combined arm)
 run_leg ACC_p2_ring 8 1500 python scripts/validate_dfg2d1.py 0.5 0.05 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
-
-# -- stage 4: DFG 2D-2 rerun at res 0.35 (VERDICT item 7) --------------
-run_leg DFG2D2 12 1500 python scripts/validate_dfg2d2.py 0.35 12 0.0025
 
 # -- stage 5: remaining validation rows ---------------------------------
 if ! grep -q "GHIA_TPU_DONE" "$LOG" 2>/dev/null; then
