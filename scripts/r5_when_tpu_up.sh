@@ -190,7 +190,7 @@ run_leg PROFILE_REUSE 3 1500 python scripts/profile_reuse.py 0.3 6
 #     candidate for the at-scale default
 run_bench r5_500k_wcycle BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
   BENCH_RES_SCALE=0.14 BENCH_WARMUP=4 BENCH_STEPS=4 \
-  BENCH_AMG_WCYCLE=1 BENCH_TIMEOUT=2400
+  BENCH_STEP_FENCE=1 BENCH_AMG_WCYCLE=1 BENCH_TIMEOUT=2400
 
 # -- stage 2e: combined winners arm — restart20 (+5%) and noconsts
 #    (+4.5%) each beat dev independently with identical iteration
