@@ -165,20 +165,30 @@ run_bench r5_500k_warm BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
 #     flap after any fenced measured step still lands that step's
 #     steps/s as the stage result (three attempts died between warmup
 #     and the 2-step window's end).
+#     INTERLEAVE: every failed attempt ends the pass, so a flap-heavy
+#     day burns every up-window here and starves stages 3-5 (11 of 24
+#     retries by 17:50 with zero DFG2D2/PROFILE legs run). Defer this
+#     stage on odd retry counts so alternate windows flow downstream.
+tries950=$(grep -c '"tag": "r5_950k_retry"' "$LOG" 2>/dev/null || true)
+if [ $(( ${tries950:-0} % 2 )) -eq 1 ]; then
+  say "defer r5_950k this pass (interleave after retry ${tries950})"
+else
 run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
   BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=3 \
   BENCH_STEP_FENCE=1 \
   BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=2700
+fi
 
-# -- stage 3: DFG 2D-1 accuracy (VERDICT item 4, open since round 2 —
-#    ahead of the optional tuning arms below) --------------------------
+# -- stage 4 (promoted): DFG 2D-2 rerun at res 0.35 (VERDICT item 7) ---
+#    ahead of the TPU DFG2D1 arms: the CPU f64 insurance campaign
+#    (acc_cpu_seq) already marches p2dp/ringcl, DFG2D2 is TPU-only
+run_leg DFG2D2 12 1500 python scripts/validate_dfg2d2.py 0.35 12 0.0025
+
+# -- stage 3: DFG 2D-1 accuracy (VERDICT item 4, open since round 2) ---
 TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
 TUNED_P2="$TUNED,\"pc_inner_u\":3"
 run_leg ACC_p2_dp   8 1500 python scripts/validate_dfg2d1.py 0.5 0.05 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
 run_leg ACC_ring_cl 8 1500 python scripts/validate_dfg2d1.py 0.25 0.05 2e-6 10 "{\"tag\":\"ringcl\",\"res_min\":0.004,$TUNED}"
-
-# -- stage 4: DFG 2D-2 rerun at res 0.35 (VERDICT item 7) --------------
-run_leg DFG2D2 12 1500 python scripts/validate_dfg2d2.py 0.35 12 0.0025
 
 # 2c': reuse-step cost breakdown at the bench size — PROFILE106 left
 #      ~600 of 793 ms unaccounted; this A/Bs const-args vs closure-const
