@@ -169,9 +169,14 @@ run_bench r5_500k_warm BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
 #     day burns every up-window here and starves stages 3-5 (11 of 24
 #     retries by 17:50 with zero DFG2D2/PROFILE legs run). Defer this
 #     stage on odd retry counts so alternate windows flow downstream.
-tries950=$(grep -c '"tag": "r5_950k_retry"' "$LOG" 2>/dev/null || true)
-if [ $(( ${tries950:-0} % 2 )) -eq 1 ]; then
-  say "defer r5_950k this pass (interleave after retry ${tries950})"
+#     BUGFIX: parity-on-retry-count deadlocked (deferring doesn't change
+#     the count, so an odd count deferred every subsequent pass — stuck
+#     at retry 11 from 17:59 on). Alternate on the LAST 950k event
+#     instead: a failed attempt yields the next pass downstream, a defer
+#     yields the next pass to the attempt.
+last950=$(grep -oE '"tag": "r5_950k_retry"|defer r5_950k' "$LOG" 2>/dev/null | tail -1)
+if [ "$last950" = '"tag": "r5_950k_retry"' ]; then
+  say "defer r5_950k this pass (last attempt flapped; interleaving)"
 else
 run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
   BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=3 \
