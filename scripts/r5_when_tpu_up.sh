@@ -222,6 +222,17 @@ run_bench r5_106k_r20nc BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
 run_bench r5_106k_oc8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
   BENCH_PROBE_BUDGET=120 BENCH_KSP_RESTART=60 BENCH_KSP_ORTHO_CHUNK=8
 
+# -- stage 2g: 950k developed-regime arm — the first r5_950k landing is
+#    WARMUP=1 (impulsive transient, the same regime that undersold 486k
+#    in round 4 by 4.5x). Once any 950k step has landed, spend later
+#    windows measuring what the framework sustains. Gated so it never
+#    contends with the first landing.
+if grep -q '"tag": "r5_950k"' "$LOG" 2>/dev/null; then
+  run_bench r5_950k_dev BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
+    BENCH_RES_SCALE=0.10 BENCH_WARMUP=4 BENCH_STEPS=2 \
+    BENCH_STEP_FENCE=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=2700
+fi
+
 # -- stage 3b: P2 + fine ring (after the tuning arms: p2dp + ringcl
 #    adjudicate Δp and c_L separately first; this is the combined arm)
 run_leg ACC_p2_ring 8 1500 python scripts/validate_dfg2d1.py 0.5 0.05 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
