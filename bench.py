@@ -341,6 +341,54 @@ def _bench_spmv(reps: int):
     return label, nbytes / elapsed / 1e9, "GB/s"
 
 
+def _start_flap_watchdog():
+    """Fast flap detection for the child: a jax call on a flapped axon
+    worker blocks indefinitely, so a hung child used to burn its whole
+    wall budget (~45 min) — including any worker RECOVERY windows that
+    occurred while it was blocked (the relay does not complete in-flight
+    ops on reconnect; trace 15:29-16:13). A daemon thread probes worker
+    health out-of-process every 60 s; after 3 consecutive failures
+    (~3 min confirmed down) it lands the fenced partial result if one
+    exists, else reports the flap, and exits — the supervisor's next
+    pass retries within the next up-window instead of 45 min later."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return  # CPU backend: the worker probe is irrelevant
+    if os.environ.get("BENCH_FLAP_WATCHDOG", "1") != "1":
+        return
+    import threading
+
+    def _loop():
+        fails = 0
+        while True:
+            time.sleep(60)
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", _PROBE_CODE],
+                    timeout=50, capture_output=True,
+                )
+                ok = r.returncode == 0
+            except (subprocess.TimeoutExpired, OSError):
+                ok = False
+            fails = 0 if ok else fails + 1
+            if fails >= 3:
+                _trace("flap watchdog: worker down 3 probes; exiting")
+                if _PARTIAL["line"]:
+                    print(json.dumps(_PARTIAL["line"]), flush=True)
+                    os._exit(0)
+                print(json.dumps({
+                    "metric": (f"{os.environ.get('BENCH_SCENARIO', 'dfg')}"
+                               "_bench_flapped"),
+                    "value": 0.0,
+                    "unit": "steps/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": ("flap watchdog: TPU worker down ~3 min "
+                              "mid-measurement"),
+                }), flush=True)
+                os._exit(1)
+
+    threading.Thread(target=_loop, daemon=True).start()
+
+
 def _run_child():
     """One measurement, bounded by its own alarm; prints one JSON line."""
     # Persistent compilation cache: the axon worker flaps on a minutes
