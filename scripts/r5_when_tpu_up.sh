@@ -118,7 +118,9 @@ run_leg() {  # marker max_legs timeout cmd...
 }
 
 export R5_RETRY_r5_950k_compile=24   # incremental cache progress per try
-export R5_RETRY_r5_950k=24  # cheap retries now: mesh cached, execs cached
+export R5_RETRY_r5_950k=48  # cheap retries: mesh+exec cached, and the
+                            # bench flap watchdog exits a hung attempt in
+                            # ~4 min instead of burning the 45-min budget
 
 while [ ! -f /tmp/tpu_up ]; do sleep 60; done
 say "TPU worker is back ($(cat /tmp/tpu_up)); starting round-5 queue"
