@@ -177,7 +177,15 @@ def _bench_dfg(steps: int):
         if "ksp_iters" in (s.last_stats or {}):
             checked = s.last_stats
         if step_fence:
-            float(jnp.sum(s.u_sol))
+            chk = float(jnp.sum(s.u_sol))
+            if not np.isfinite(chk):
+                # a worker crash that wipes HBM can leave stale buffer
+                # handles serving garbage rather than erroring — never
+                # bank a partial computed on a wiped state
+                raise RuntimeError(
+                    f"nonfinite state after step (sum={chk}); "
+                    "worker state lost mid-ride?"
+                )
             done += 1
             el = time.perf_counter() - t0
             _PARTIAL["line"] = {
@@ -342,20 +350,32 @@ def _bench_spmv(reps: int):
 
 
 def _start_flap_watchdog():
-    """Fast flap detection for the child: a jax call on a flapped axon
-    worker blocks indefinitely, so a hung child used to burn its whole
-    wall budget (~45 min) — including any worker RECOVERY windows that
-    occurred while it was blocked (the relay does not complete in-flight
-    ops on reconnect; trace 15:29-16:13). A daemon thread probes worker
-    health out-of-process every 60 s; after 3 consecutive failures
-    (~3 min confirmed down) it lands the fenced partial result if one
-    exists, else reports the flap, and exits — the supervisor's next
-    pass retries within the next up-window instead of 45 min later."""
+    """Flap policy for the child, measured on the live relay (r5):
+    an op SUBMITTED while the worker is down completes when it recovers
+    (probe: submit 21:25, worker dead ~7 min, fenced 21:32), and fresh
+    30 s health probes FAIL while queued ops are still being served —
+    the worker goes half-responsive under load rather than cleanly
+    down. So gating on probes skips attempts that would have succeeded,
+    and exiting a blocked child forfeits its queued work.
+
+    Policy (daemon thread, probes out-of-process every 60 s):
+      - >= BENCH_WD_LAND consecutive failures (~4 min confirmed down)
+        WITH a fenced partial result: bank it and exit 0 — a landed
+        measurement beats riding for a marginally better one.
+      - >= BENCH_WD_ABORT consecutive failures (~45 min hard outage)
+        with nothing fenced: exit 1 with an error marker (routed to the
+        queue's retry branch) so the pass is freed by the time the
+        worker recovers.
+      - otherwise RIDE: stay blocked — the queued op completes on
+        recovery, while exiting would re-pay setup on the next attempt."""
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return  # CPU backend: the worker probe is irrelevant
     if os.environ.get("BENCH_FLAP_WATCHDOG", "1") != "1":
         return
     import threading
+
+    land_n = int(os.environ.get("BENCH_WD_LAND", "3"))
+    abort_n = int(os.environ.get("BENCH_WD_ABORT", "45"))
 
     def _loop():
         fails = 0
@@ -370,19 +390,22 @@ def _start_flap_watchdog():
             except (subprocess.TimeoutExpired, OSError):
                 ok = False
             fails = 0 if ok else fails + 1
-            if fails >= 3:
-                _trace("flap watchdog: worker down 3 probes; exiting")
-                if _PARTIAL["line"]:
-                    print(json.dumps(_PARTIAL["line"]), flush=True)
-                    os._exit(0)
+            if fails == land_n and _PARTIAL["line"]:
+                _trace(f"flap watchdog: down {fails} probes with a "
+                       "fenced partial; banking it")
+                print(json.dumps(_PARTIAL["line"]), flush=True)
+                os._exit(0)
+            if fails >= abort_n:
+                _trace(f"flap watchdog: down {fails} probes, nothing "
+                       "fenced; aborting attempt")
                 print(json.dumps({
                     "metric": (f"{os.environ.get('BENCH_SCENARIO', 'dfg')}"
                                "_bench_flapped"),
                     "value": 0.0,
                     "unit": "steps/sec/chip",
                     "vs_baseline": 0.0,
-                    "error": ("flap watchdog: TPU worker down ~3 min "
-                              "mid-measurement"),
+                    "error": (f"flap watchdog: TPU worker down "
+                              f"~{abort_n} min mid-measurement"),
                 }), flush=True)
                 os._exit(1)
 
@@ -559,10 +582,22 @@ def main():
     signal.alarm(int(max(total - 10, 30)))
 
     small_scale = os.environ.get("BENCH_SMALL_RES_SCALE", "1.0")
-    healthy = _tpu_healthy(
-        float(os.environ.get("BENCH_PROBE_BUDGET", "240")))
-    print(f"bench: tpu healthy={healthy} "
-          f"(+{time.time() - t_start:.0f}s)", file=sys.stderr, flush=True)
+    if os.environ.get("BENCH_RIDE", "0") == "1":
+        # ride mode (big-size campaign stages): skip the health gate
+        # entirely. Measured on the live relay: fresh 30 s probes FAIL
+        # while already-queued ops are still served and complete on
+        # recovery — so the gate skips attempts that would have
+        # succeeded. Submit and wait; the watchdog banks any fenced
+        # partial and bounds a true hard outage.
+        healthy = True
+        print("bench: ride mode, health gate skipped",
+              file=sys.stderr, flush=True)
+    else:
+        healthy = _tpu_healthy(
+            float(os.environ.get("BENCH_PROBE_BUDGET", "240")))
+        print(f"bench: tpu healthy={healthy} "
+              f"(+{time.time() - t_start:.0f}s)", file=sys.stderr,
+              flush=True)
 
     if healthy:
         # phase 1: small size — lands a real TPU number fast.

@@ -320,44 +320,66 @@ class NodeBSR:
         col = np.asarray(self.block_col, dtype=np.int64)
         n = self.n_nodes
         ne = len(row)
-        # group entry ids by middle node: e1 by col (I--K), e2 by row (K--J)
-        by_col = np.argsort(col, kind="stable")
-        col_s = col[by_col]
-        cptr = np.searchsorted(col_s, np.arange(n + 1))
-        rptr = np.searchsorted(row, np.arange(n + 1))  # row already sorted
-        # segmented cartesian product, fully vectorized (a per-node
-        # Python loop here cost ~100 s at ~1M DOF): for each middle node
-        # K, pair every entry with col==K (a block per such entry, in
-        # by_col order) against the contiguous row-range rptr[K]:rptr[K+1]
-        cb = np.diff(rptr)              # entries with row == K
-        blk_len = cb[col_s]             # block length per sorted entry
-        tot = int(blk_len.sum())
-        block_id = np.repeat(np.arange(ne, dtype=np.int64), blk_len)
-        starts = np.concatenate(([0], np.cumsum(blk_len)[:-1]))
-        within = np.arange(tot, dtype=np.int64) - starts[block_id]
-        e1 = by_col[block_id]
-        e2 = rptr[col_s][block_id] + within
-        prod_keys = row[e1] * n + col[e2]
-        app_keys = row * n + col
-        uniq = np.unique(np.concatenate([prod_keys, app_keys]))
+
+        def _build():
+            # group entry ids by middle node: e1 by col (I--K), e2 by
+            # row (K--J)
+            by_col = np.argsort(col, kind="stable")
+            col_s = col[by_col]
+            rptr = np.searchsorted(row, np.arange(n + 1))  # row sorted
+            # segmented cartesian product, fully vectorized (a per-node
+            # Python loop here cost ~100 s at ~1M DOF): for each middle
+            # node K, pair every entry with col==K (a block per such
+            # entry, in by_col order) against the contiguous row-range
+            # rptr[K]:rptr[K+1]
+            cb = np.diff(rptr)              # entries with row == K
+            blk_len = cb[col_s]             # block length per sorted entry
+            tot = int(blk_len.sum())
+            block_id = np.repeat(np.arange(ne, dtype=np.int64), blk_len)
+            starts = np.concatenate(([0], np.cumsum(blk_len)[:-1]))
+            within = np.arange(tot, dtype=np.int64) - starts[block_id]
+            e1 = by_col[block_id]
+            e2 = rptr[col_s][block_id] + within
+            prod_keys = row[e1] * n + col[e2]
+            app_keys = row * n + col
+            uniq = np.unique(np.concatenate([prod_keys, app_keys]))
+            pk = np.searchsorted(uniq, prod_keys)
+            return {
+                "e1": e1.astype(np.int32),
+                "e2": e2.astype(np.int32),
+                "kcol": col[e1].astype(np.int32),
+                "pk": pk,
+                "app_pos": np.searchsorted(uniq, app_keys).astype(
+                    np.int32
+                ),
+                "uniq": uniq,
+                "diag_pos": np.searchsorted(
+                    uniq,
+                    np.arange(n, dtype=np.int64) * n + np.arange(n),
+                ).astype(np.int32),
+            }
+
+        # the distance-2 pairing is a big-mesh setup hotspot (with its
+        # scatter, ~90 s of the 190 s host setup at 950k DOF) and a pure
+        # function of the node graph — disk-cached for large graphs
+        if ne >= (1 << 20):
+            from ..utils.symcache import cached_arrays
+
+            got = cached_arrays("sp_struct", (row, col, n), _build)
+        else:
+            got = _build()
+        uniq = got["uniq"]
         n_sp = len(uniq)
-        pk = np.searchsorted(uniq, prod_keys)
         from ..utils.geometry import SortedScatter
 
-        self._sp_e1 = jnp.asarray(e1.astype(np.int32))
-        self._sp_e2 = jnp.asarray(e2.astype(np.int32))
-        self._sp_K = jnp.asarray(col[e1].astype(np.int32))
-        self._sp_scatter = SortedScatter(pk, n_sp)
-        self._sp_app_pos = jnp.asarray(
-            np.searchsorted(uniq, app_keys).astype(np.int32)
-        )
+        self._sp_e1 = jnp.asarray(got["e1"])
+        self._sp_e2 = jnp.asarray(got["e2"])
+        self._sp_K = jnp.asarray(got["kcol"])
+        self._sp_scatter = SortedScatter(got["pk"], n_sp)
+        self._sp_app_pos = jnp.asarray(got["app_pos"])
         sp_row = jnp.asarray((uniq // n).astype(np.int32))
         sp_col = jnp.asarray((uniq % n).astype(np.int32))
-        self._sp_diag_pos = jnp.asarray(
-            np.searchsorted(
-                uniq, np.arange(n, dtype=np.int64) * n + np.arange(n)
-            ).astype(np.int32)
-        )
+        self._sp_diag_pos = jnp.asarray(got["diag_pos"])
         self._sp = (sp_row, sp_col, n_sp)
         return self._sp
 

@@ -57,40 +57,61 @@ class RASPrecond:
 
         row = np.asarray(row, dtype=np.int64)
         col = np.asarray(col, dtype=np.int64)
-
-        # window k holds nodes [k*s - o, k*s + s + o); node x is in
-        # window k iff floor((x - s - o)/s) < k <= floor((x + o)/s)
-        lo = np.maximum(
-            np.maximum((row - s - o) // s + 1, (col - s - o) // s + 1), 0
-        )
-        up = np.minimum(
-            np.minimum((row + o) // s, (col + o) // s), n_sub - 1
-        )
-        n_cand = int(np.maximum(up - lo + 1, 0).max()) if len(row) else 1
-
-        # scatter positions: entry (r, c) lands in window k at local
-        # block (r - (k*s - o), c - (k*s - o)); each (k, r, c) triple is
-        # unique so one concatenated unique-index scatter suffices,
-        # out-of-range candidates get an OOB sentinel (mode="drop")
         total = n_sub * m * m
-        pos_slots = []
-        ij = np.arange(d)
-        for t in range(max(n_cand, 1)):
-            k = lo + t
-            ok = k <= up
-            base = k * s - o
-            lr = (row - base) * d
-            lc = (col - base) * d
-            p = (
-                (k[:, None] * m + lr[:, None] + ij[None, :])[:, :, None]
-                * m + (lc[:, None] + ij[None, :])[:, None, :]
+
+        def _build():
+            # window k holds nodes [k*s - o, k*s + s + o); node x is in
+            # window k iff floor((x - s - o)/s) < k <= floor((x + o)/s)
+            lo = np.maximum(
+                np.maximum((row - s - o) // s + 1,
+                           (col - s - o) // s + 1), 0
             )
-            p = np.where(ok[:, None, None], p, total)
-            pos_slots.append(p)
-        pos = np.concatenate(pos_slots, axis=0)
-        self._n_cand = max(n_cand, 1)
-        self._pos = jnp.asarray(pos.astype(np.int64 if total >= 2**31
-                                           else np.int32))
+            up = np.minimum(
+                np.minimum((row + o) // s, (col + o) // s), n_sub - 1
+            )
+            n_cand = (
+                int(np.maximum(up - lo + 1, 0).max()) if len(row) else 1
+            )
+            # scatter positions: entry (r, c) lands in window k at local
+            # block (r - (k*s - o), c - (k*s - o)); each (k, r, c)
+            # triple is unique so one concatenated unique-index scatter
+            # suffices, out-of-range candidates get an OOB sentinel
+            # (mode="drop")
+            pos_slots = []
+            ij = np.arange(d)
+            for t in range(max(n_cand, 1)):
+                k = lo + t
+                ok = k <= up
+                base = k * s - o
+                lr = (row - base) * d
+                lc = (col - base) * d
+                p = (
+                    (k[:, None] * m + lr[:, None] + ij[None, :])[:, :, None]
+                    * m + (lc[:, None] + ij[None, :])[:, None, :]
+                )
+                p = np.where(ok[:, None, None], p, total)
+                pos_slots.append(p)
+            pos = np.concatenate(pos_slots, axis=0)
+            return {
+                "n_cand": np.int64(max(n_cand, 1)),
+                "pos": pos.astype(
+                    np.int64 if total >= 2**31 else np.int32
+                ),
+            }
+
+        # the window-position map is a big-mesh setup hotspot (38 s of
+        # the 190 s host setup at 950k DOF) and a pure function of the
+        # graph + (n, d, s, o) — disk-cached for large graphs
+        if len(row) >= (1 << 20):
+            from ..utils.symcache import cached_arrays
+
+            got = cached_arrays(
+                "ras_pos", (row, col, n, d, s, o), _build
+            )
+        else:
+            got = _build()
+        self._n_cand = int(got["n_cand"])
+        self._pos = jnp.asarray(got["pos"])
         self._total = total
 
         # gather index (n_sub, w) with an n-sentinel for padding nodes,

@@ -85,30 +85,51 @@ class SortedScatter:
     def __init__(self, index_array, n_out: int):
         import numpy as np
 
+        from .symcache import cached_arrays
+
         flat = np.asarray(index_array).reshape(-1)
         self.n_in = len(flat)
         self.n_out = int(n_out)
-        perm = np.argsort(flat, kind="stable")
-        cnt = np.bincount(flat, minlength=n_out)
-        K = int(cnt.max()) if len(cnt) else 1
-        self.K = K
-        if K <= self.ELL_MAX_K:
-            starts = np.cumsum(cnt) - cnt
-            slot = np.empty(self.n_in, dtype=np.int64)
-            slot[perm] = (
-                flat[perm] * K
-                + (np.arange(self.n_in) - np.repeat(starts, cnt))
-            )
-            idx = np.full(n_out * K, self.n_in, dtype=np.int64)
-            idx[slot] = np.arange(self.n_in)
-            self.ell_idx = jnp.asarray(
-                idx.reshape(n_out, K).astype(np.int32)
-            )
+
+        def _build():
+            perm = np.argsort(flat, kind="stable")
+            cnt = np.bincount(flat, minlength=n_out)
+            K = int(cnt.max()) if len(cnt) else 1
+            if K <= self.ELL_MAX_K:
+                starts = np.cumsum(cnt) - cnt
+                slot = np.empty(self.n_in, dtype=np.int64)
+                slot[perm] = (
+                    flat[perm] * K
+                    + (np.arange(self.n_in) - np.repeat(starts, cnt))
+                )
+                idx = np.full(n_out * K, self.n_in, dtype=np.int64)
+                idx[slot] = np.arange(self.n_in)
+                return {
+                    "K": np.int64(K),
+                    "ell_idx": idx.reshape(n_out, K).astype(np.int32),
+                }
+            return {
+                "K": np.int64(K),
+                "perm": perm.astype(np.int32),
+                "sorted_ids": flat[perm].astype(np.int32),
+            }
+
+        # the sort/slot construction is a big-mesh setup hotspot (72 s
+        # of the 190 s host setup at 950k DOF across the assembly/Schur
+        # scatters) and a pure function of (flat, n_out) — disk-cached
+        # for large maps (small ones rebuild faster than they hash)
+        if flat.size >= (1 << 20):
+            got = cached_arrays("scatter", (flat, n_out), _build)
+        else:
+            got = _build()
+        self.K = int(got["K"])
+        if "ell_idx" in got:
+            self.ell_idx = jnp.asarray(got["ell_idx"])
             self.perm = None
         else:
             self.ell_idx = None
-            self.perm = jnp.asarray(perm.astype(np.int32))
-            self.sorted_ids = jnp.asarray(flat[perm].astype(np.int32))
+            self.perm = jnp.asarray(got["perm"])
+            self.sorted_ids = jnp.asarray(got["sorted_ids"])
 
     def __call__(self, vals_flat):
         """vals_flat: (N, ...) contributions in the index array's

@@ -72,13 +72,20 @@ run_bench() {  # name, env...
   if [ "${tries:-0}" -ge "$budget" ]; then
     say "skip $name (retry budget $budget exhausted)"; return 0
   fi
-  if ! probe; then say "TPU unhealthy before $name; waiting 120s"; sleep 120;
-    probe || bail "TPU still unhealthy before $name"
+  # per-stage probe opt-out (R5_NOPROBE_<name>=1): ride-mode stages
+  # submit unconditionally — measured r5: fresh 30 s probes fail while
+  # queued ops are still served, so the gate skips viable attempts
+  noprobe_var="R5_NOPROBE_${name}"
+  if [ "${!noprobe_var:-0}" != "1" ]; then
+    if ! probe; then say "TPU unhealthy before $name; waiting 120s"; sleep 120;
+      probe || bail "TPU still unhealthy before $name"
+    fi
   fi
   say "start $name: $*"
+  tmo_var="R5_TMO_${name}"
   # stage env comes AFTER the defaults so stages can raise BENCH_TIMEOUT
   out=$(env BENCH_TIMEOUT=1800 BENCH_NO_CPU_FALLBACK=1 "$@" \
-        timeout 3100 python bench.py 2>/tmp/r5_stderr.log)
+        timeout "${!tmo_var:-3100}" python bench.py 2>/tmp/r5_stderr.log)
   code=$?
   line=$(echo "$out" | grep -o '{.*}' | tail -1)
   # retry (not complete) on: CPU-fallback lines, explicit skip lines,
@@ -176,14 +183,18 @@ run_bench r5_500k_warm BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
 #     at retry 11 from 17:59 on). Alternate on the LAST 950k event
 #     instead: a failed attempt yields the next pass downstream, a defer
 #     yields the next pass to the attempt.
+#     RIDE (no health gates, watchdog banks partials / bounds outages):
+#     fresh probes fail while queued ops are served, so gated attempts
+#     were being skipped in windows that could have landed a step.
+export R5_NOPROBE_r5_950k=1 R5_TMO_r5_950k=5700
 last950=$(grep -oE '"tag": "r5_950k_retry"|defer r5_950k' "$LOG" 2>/dev/null | tail -1)
 if [ "$last950" = '"tag": "r5_950k_retry"' ]; then
   say "defer r5_950k this pass (last attempt flapped; interleaving)"
 else
-run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
+run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_RIDE=1 \
   BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=3 \
   BENCH_STEP_FENCE=1 \
-  BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=2700
+  BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
 fi
 
 # -- stage 4 (promoted): DFG 2D-2 rerun at res 0.35 (VERDICT item 7) ---
@@ -230,9 +241,10 @@ run_bench r5_106k_oc8 BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
 #    windows measuring what the framework sustains. Gated so it never
 #    contends with the first landing.
 if grep -q '"tag": "r5_950k"' "$LOG" 2>/dev/null; then
-  run_bench r5_950k_dev BENCH_SKIP_SMALL=1 BENCH_PROBE_BUDGET=120 \
+  export R5_NOPROBE_r5_950k_dev=1 R5_TMO_r5_950k_dev=5700
+  run_bench r5_950k_dev BENCH_SKIP_SMALL=1 BENCH_RIDE=1 \
     BENCH_RES_SCALE=0.10 BENCH_WARMUP=4 BENCH_STEPS=2 \
-    BENCH_STEP_FENCE=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=2700
+    BENCH_STEP_FENCE=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
 fi
 
 # -- stage 3b: P2 + fine ring (after the tuning arms: p2dp + ringcl
