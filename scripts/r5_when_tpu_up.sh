@@ -205,8 +205,13 @@ run_leg DFG2D2 12 1500 python scripts/validate_dfg2d2.py 0.35 12 0.0025
 # -- stage 3: DFG 2D-1 accuracy (VERDICT item 4, open since round 2) ---
 TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
 TUNED_P2="$TUNED,\"pc_inner_u\":3"
-run_leg ACC_p2_dp   8 1500 python scripts/validate_dfg2d1.py 0.5 0.05 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
-run_leg ACC_ring_cl 8 1500 python scripts/validate_dfg2d1.py 0.25 0.05 2e-6 10 "{\"tag\":\"ringcl\",\"res_min\":0.004,$TUNED}"
+# dt 0.2 (the campaign default that landed c_D inside in round 1): the
+# steady state is the fixed point of the step map, dt-independent; the
+# 0.05 marches were Newton-insurance the ramping solver already
+# provides. p2dp RESUMES its t=2.5 checkpoint with 37 steps left
+# instead of 150 — worker-served minutes are the scarce resource.
+run_leg ACC_p2_dp   8 1500 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
+run_leg ACC_ring_cl 8 1500 python scripts/validate_dfg2d1.py 0.25 0.2 2e-6 10 "{\"tag\":\"ringcl\",\"res_min\":0.004,$TUNED}"
 
 # 2c': reuse-step cost breakdown at the bench size — PROFILE106 left
 #      ~600 of 793 ms unaccounted; this A/Bs const-args vs closure-const
@@ -249,7 +254,7 @@ fi
 
 # -- stage 3b: P2 + fine ring (after the tuning arms: p2dp + ringcl
 #    adjudicate Δp and c_L separately first; this is the combined arm)
-run_leg ACC_p2_ring 8 1500 python scripts/validate_dfg2d1.py 0.5 0.05 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
+run_leg ACC_p2_ring 8 1500 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
 
 # -- stage 5: remaining validation rows ---------------------------------
 if ! grep -q "GHIA_TPU_DONE" "$LOG" 2>/dev/null; then
