@@ -11,6 +11,10 @@ Unknown --key value pairs are literal-eval'd and forwarded through
 Simulation -> Scenario -> Solver constructors, each layer keeping only the
 kwargs its signature declares (the reference's extensibility mechanism,
 main.py:12-31).
+
+Implementation note: subcommand flags are declared as spec tables and
+installed by _add_flags — the *surface* (names, types, defaults,
+required-ness) is the compatibility contract, the construction isn't.
 """
 
 import argparse
@@ -18,28 +22,31 @@ import ast
 import sys
 
 
-def parse_unknown_args(unknown):
-    kwargs = {}
-    i = 0
-    while i < len(unknown):
-        arg = unknown[i]
-        if arg.startswith("--"):
-            key = arg[2:]
-            if "=" in key:
-                key, val = key.split("=", 1)
-            elif i + 1 < len(unknown) and not unknown[i + 1].startswith("--"):
-                val = unknown[i + 1]
-                i += 1
-            else:
-                val = True
-            if isinstance(val, str):
-                try:
-                    val = ast.literal_eval(val)
-                except (ValueError, SyntaxError):
-                    pass
-            kwargs[key] = val
-        i += 1
-    return kwargs
+def parse_unknown_args(tokens):
+    """Freeform `--key value` / `--key=value` / bare `--flag` pairs to a
+    kwargs dict, values literal-eval'd when they parse (ints, floats,
+    tuples, quoted strings) and kept verbatim otherwise."""
+    out = {}
+    it = iter(range(len(tokens)))
+    for i in it:
+        tok = tokens[i]
+        if not tok.startswith("--"):
+            continue
+        body = tok[2:]
+        if "=" in body:
+            key, _, raw = body.partition("=")
+        elif i + 1 < len(tokens) and not tokens[i + 1].startswith("--"):
+            key, raw = body, tokens[i + 1]
+            next(it, None)  # consume the value token
+        else:
+            key, raw = body, True
+        if isinstance(raw, str):
+            try:
+                raw = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                pass  # verbatim string (scenario / solver names etc.)
+        out[key] = raw
+    return out
 
 
 def run_simulate(args, unknown):
@@ -47,12 +54,14 @@ def run_simulate(args, unknown):
     from cfdtpu.simulation import Simulation
 
     kwargs = parse_unknown_args(unknown)
-    if args.mu is not None:
-        kwargs["mu"] = args.mu
-    if args.rho is not None:
-        kwargs["rho"] = args.rho
-    if args.p_grade is not None:
-        kwargs["p_grade"] = args.p_grade
+    # optional physics flags ride along only when given, so scenario
+    # defaults stay in charge otherwise
+    kwargs.update({
+        k: v
+        for k, v in (("mu", args.mu), ("rho", args.rho),
+                     ("p_grade", args.p_grade))
+        if v is not None
+    })
 
     print(f"Running simulation with extra args: {kwargs}")
 
@@ -67,14 +76,13 @@ def run_simulate(args, unknown):
             early_stop_tolerance=args.early_stop_tolerance,
             **kwargs,
         )
-    except ValueError as e:
-        print(f"\n[ERROR] Invalid configuration: {e}")
-        return 1
-    except ImportError as e:
-        print(f"\n[ERROR] Failed to load module: {e}")
-        return 1
-    except RuntimeError as e:
-        print(f"\n[ERROR] Initialization failed: {e}")
+    except (ValueError, ImportError, RuntimeError) as e:
+        label = {
+            ValueError: "Invalid configuration",
+            ImportError: "Failed to load module",
+            RuntimeError: "Initialization failed",
+        }[type(e)]
+        print(f"\n[ERROR] {label}: {e}")
         return 1
 
     try:
@@ -85,136 +93,141 @@ def run_simulate(args, unknown):
     return 0
 
 
-def main():
+def _add_flags(parser, spec):
+    """Install a flag spec table: (name, kwargs) pairs."""
+    for name, kw in spec:
+        parser.add_argument(name, **kw)
+
+
+_HPC_FLAGS = [
+    ("--hpc", dict(
+        action="store_true",
+        help="Dispatch to a SLURM cluster (sbatch job generation)")),
+    ("--distributed", dict(
+        action="store_true",
+        help="Initialize jax.distributed (multi-process SPMD launch — "
+             "the mpirun -n N analogue; auto-detects the cluster env "
+             "unless --coordinator/--num_processes/--process_id given)")),
+    ("--coordinator", dict(default=None)),
+    ("--num_processes", dict(type=int, default=None)),
+    ("--process_id", dict(type=int, default=None)),
+]
+
+_SIMULATE_FLAGS = [
+    ("--simulation", dict(required=True,
+                          help="Scenario name (e.g. dfg_1)")),
+    ("--solver", dict(required=True,
+                      help="Solver name (e.g. stabilized_schur)")),
+    ("--mu", dict(type=float, default=None, help="Viscosity")),
+    ("--rho", dict(type=float, default=None, help="Density")),
+    ("--T", dict(type=float, required=True, help="Total time")),
+    ("--dt", dict(type=float, required=True, help="Time step")),
+    ("--name", dict(required=True, help="Name of the run")),
+    ("--output_dir", dict(default="results", help="Output directory")),
+    ("--early_stop_tolerance", dict(
+        type=float, default=1e-5,
+        help="Tolerance for early stopping the simulation")),
+    ("--cores", dict(type=int, default=1,
+                     help="Number of chips/processes per job (for HPC "
+                          "solve)")),
+    ("--p_grade", dict(type=int, default=None,
+                       help="Polynomial degree for velocity and pressure "
+                            "spaces (p-refinement, default: 1)")),
+    ("--time_limit", dict(type=str, default=None,
+                          help="Time limit for SLURM job (e.g. 00:30:00, "
+                               "requires --hpc)")),
+]
+
+_EXP_COMMON_FLAGS = [
+    ("--config", dict(type=str, required=True,
+                      help="Path to the YAML config")),
+    ("--output", dict(type=str, default="results/experiments",
+                      dest="exp_output",
+                      help="Base directory for results")),
+    ("--job_idx", dict(type=int, default=None,
+                       help="Index of the experiment to run (for job "
+                            "arrays)")),
+]
+
+_EXP_SOLVE_FLAGS = [
+    ("--cores", dict(type=int, default=1,
+                     help="Number of chips/processes per job")),
+    ("--watch", dict(action="store_true", default=False,
+                     help="After submitting an HPC job, watch it")),
+    ("--time_limit", dict(type=str, default=None,
+                          help="Time limit for each SLURM job")),
+    ("--early_stop_tolerance", dict(
+        type=float, default=None,
+        help="Override early stop tolerance for all experiments")),
+    ("--monitor", dict(action="store_true", default=False,
+                       help="Enable solver monitoring output")),
+]
+
+_TREE_FLAGS = [
+    ("--config", dict(type=str, required=True,
+                      help="Path to the YAML config")),
+    ("--output", dict(type=str, required=True,
+                      help="Output path for the mesh (.msh)")),
+    ("--bind", dict(action="store_true",
+                    help="Bind the current directory (container compat "
+                         "flag)")),
+    ("--perf_point", dict(type=float, nargs=3,
+                          help="Perfusion point in mm (x y z)")),
+]
+
+
+def build_parser():
     parser = argparse.ArgumentParser(
         description="cfdtpu - TPU-native hemodynamic CFD - Unified CLI",
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     hpc_parent = argparse.ArgumentParser(add_help=False)
-    hpc_parent.add_argument(
-        "--hpc", action="store_true",
-        help="Dispatch to a SLURM cluster (sbatch job generation)",
-    )
-    hpc_parent.add_argument(
-        "--distributed", action="store_true",
-        help="Initialize jax.distributed (multi-process SPMD launch — "
-             "the mpirun -n N analogue; auto-detects the cluster env "
-             "unless --coordinator/--num_processes/--process_id given)",
-    )
-    hpc_parent.add_argument("--coordinator", default=None)
-    hpc_parent.add_argument("--num_processes", type=int, default=None)
-    hpc_parent.add_argument("--process_id", type=int, default=None)
+    _add_flags(hpc_parent, _HPC_FLAGS)
 
-    subparsers = parser.add_subparsers(dest="command", help="Command")
+    sub = parser.add_subparsers(dest="command", help="Command")
 
-    # -- simulate -------------------------------------------------------
-    sim_parser = subparsers.add_parser(
-        "simulate", parents=[hpc_parent], help="Run a CFD simulation"
-    )
-    sim_parser.add_argument(
-        "--simulation", required=True, help="Scenario name (e.g. dfg_1)"
-    )
-    sim_parser.add_argument(
-        "--solver", required=True, help="Solver name (e.g. stabilized_schur)"
-    )
-    sim_parser.add_argument("--mu", type=float, default=None, help="Viscosity")
-    sim_parser.add_argument("--rho", type=float, default=None, help="Density")
-    sim_parser.add_argument("--T", type=float, required=True, help="Total time")
-    sim_parser.add_argument("--dt", type=float, required=True, help="Time step")
-    sim_parser.add_argument("--name", required=True, help="Name of the run")
-    sim_parser.add_argument(
-        "--output_dir", default="results", help="Output directory"
-    )
-    sim_parser.add_argument(
-        "--early_stop_tolerance", type=float, default=1e-5,
-        help="Tolerance for early stopping the simulation",
-    )
-    sim_parser.add_argument(
-        "--cores", type=int, default=1,
-        help="Number of chips/processes per job (for HPC solve)",
-    )
-    sim_parser.add_argument(
-        "--p_grade", type=int, default=None,
-        help="Polynomial degree for velocity and pressure spaces "
-        "(p-refinement, default: 1)",
-    )
-    sim_parser.add_argument(
-        "--time_limit", type=str, default=None,
-        help="Time limit for SLURM job (e.g. 00:30:00, requires --hpc)",
-    )
+    sim_p = sub.add_parser("simulate", parents=[hpc_parent],
+                           help="Run a CFD simulation")
+    _add_flags(sim_p, _SIMULATE_FLAGS)
 
-    # -- experiment -----------------------------------------------------
-    exp_parser = subparsers.add_parser(
-        "experiment", help="Experiment-matrix manager"
-    )
+    exp_p = sub.add_parser("experiment", help="Experiment-matrix manager")
     exp_common = argparse.ArgumentParser(add_help=False)
-    exp_common.add_argument(
-        "--config", type=str, required=True, help="Path to the YAML config"
-    )
-    exp_common.add_argument(
-        "--output", type=str, default="results/experiments",
-        dest="exp_output", help="Base directory for results",
-    )
-    exp_common.add_argument(
-        "--job_idx", type=int, default=None,
-        help="Index of the experiment to run (for job arrays)",
-    )
-    exp_subparsers = exp_parser.add_subparsers(
-        dest="exp_command", help="experiment subcommands"
-    )
-    exp_mesh_parser = exp_subparsers.add_parser(
+    _add_flags(exp_common, _EXP_COMMON_FLAGS)
+    exp_sub = exp_p.add_subparsers(dest="exp_command",
+                                   help="experiment subcommands")
+    mesh_p = exp_sub.add_parser(
         "mesh", parents=[exp_common, hpc_parent],
         help="Generate meshes for the experiment matrix",
     )
-    exp_mesh_parser.add_argument(
-        "--mode", choices=["all", "tree", "geometry"], default="all",
-        dest="meshing_mode", help="Meshing stage to run",
-    )
-    exp_solve_parser = exp_subparsers.add_parser(
+    mesh_p.add_argument("--mode", choices=["all", "tree", "geometry"],
+                        default="all", dest="meshing_mode",
+                        help="Meshing stage to run")
+    solve_p = exp_sub.add_parser(
         "solve", parents=[exp_common, hpc_parent],
         help="Solve the experiment matrix",
     )
-    exp_solve_parser.add_argument(
-        "--cores", type=int, default=1,
-        help="Number of chips/processes per job",
-    )
-    exp_solve_parser.add_argument(
-        "--watch", action="store_true", default=False,
-        help="After submitting an HPC job, watch it",
-    )
-    exp_solve_parser.add_argument(
-        "--time_limit", type=str, default=None,
-        help="Time limit for each SLURM job",
-    )
-    exp_solve_parser.add_argument(
-        "--early_stop_tolerance", type=float, default=None,
-        help="Override early stop tolerance for all experiments",
-    )
-    exp_solve_parser.add_argument(
-        "--monitor", action="store_true", default=False,
-        help="Enable solver monitoring output",
-    )
+    _add_flags(solve_p, _EXP_SOLVE_FLAGS)
 
-    # -- tree -----------------------------------------------------------
-    tree_parser = subparsers.add_parser(
-        "tree", parents=[hpc_parent], help="Generate a vascular tree"
-    )
-    tree_parser.add_argument(
-        "--config", type=str, required=True, help="Path to the YAML config"
-    )
-    tree_parser.add_argument(
-        "--output", type=str, required=True,
-        help="Output path for the mesh (.msh)",
-    )
-    tree_parser.add_argument(
-        "--bind", action="store_true",
-        help="Bind the current directory (container compat flag)",
-    )
-    tree_parser.add_argument(
-        "--perf_point", type=float, nargs=3,
-        help="Perfusion point in mm (x y z)",
-    )
+    tree_p = sub.add_parser("tree", parents=[hpc_parent],
+                            help="Generate a vascular tree")
+    _add_flags(tree_p, _TREE_FLAGS)
+    return parser
 
+
+def _dispatch_experiment(args, unknown):
+    from cfdtpu.experiments.main import run
+
+    return run(args)
+
+
+def _dispatch_tree(args, unknown):
+    from cfdtpu.geom.tree.main import run
+
+    return run(args)
+
+
+def main():
+    parser = build_parser()
     args, unknown = parser.parse_known_args()
 
     if getattr(args, "distributed", False):
@@ -231,19 +244,15 @@ def main():
         dispatch_hpc(args, unknown)
         return 0
 
-    if args.command == "simulate":
-        return run_simulate(args, unknown)
-    elif args.command == "experiment":
-        from cfdtpu.experiments.main import run
-
-        return run(args)
-    elif args.command == "tree":
-        from cfdtpu.geom.tree.main import run
-
-        return run(args)
-    else:
+    handler = {
+        "simulate": run_simulate,
+        "experiment": _dispatch_experiment,
+        "tree": _dispatch_tree,
+    }.get(args.command)
+    if handler is None:
         parser.print_help()
         return 1
+    return handler(args, unknown)
 
 
 if __name__ == "__main__":
