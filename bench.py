@@ -213,6 +213,44 @@ def _bench_dfg(steps: int):
     return f"dfg_2d1_{ndofs}dof", steps / elapsed, "steps/sec/chip", extra
 
 
+def _bench_dfg_with_rebuilds(steps: int):
+    """_bench_dfg, surviving worker CRASHES (distinct from blips).
+
+    Measured on the live relay: most flaps are blips — queued ops
+    complete on recovery with device state intact (PERF.md round-5
+    flap mechanics) — but some are true worker restarts, surfacing as
+    `JaxRuntimeError: UNAVAILABLE: TPU worker process crashed or
+    restarted`, with all device buffers lost (the 22:08 ride attempt
+    died to one a minute after its 950k warmup). Device state is
+    rebuildable from host data, and the mesh/symbolic/compile caches
+    make a rebuild ~90 s — so a crash mid-attempt triggers an in-child
+    rebuild-and-continue instead of forfeiting the attempt:
+      - any already-fenced partial is banked immediately (it was
+        computed on pre-crash state and is valid);
+      - otherwise wait for the worker to serve again (bounded), then
+        re-run setup + warmup + stride in the same process."""
+    rebuilds = int(os.environ.get("BENCH_CRASH_REBUILDS", "3"))
+    for k in range(rebuilds + 1):
+        try:
+            return _bench_dfg(steps)
+        except Exception as e:  # noqa: BLE001 — gated on message below
+            msg = f"{type(e).__name__}: {e}"
+            crashed = ("UNAVAILABLE" in msg
+                       or "crashed or restarted" in msg)
+            if not crashed or k == rebuilds:
+                raise
+            if _PARTIAL["line"]:
+                _trace("worker crash with a fenced partial; banking it")
+                print(json.dumps(_PARTIAL["line"]), flush=True)
+                os._exit(0)
+            _trace(f"worker crash mid-attempt ({msg[:90]}); waiting to "
+                   f"rebuild ({k + 1}/{rebuilds})")
+            if not _tpu_healthy(
+                float(os.environ.get("BENCH_REBUILD_WAIT", "1800"))
+            ):
+                raise
+
+
 def _bench_compile_warm():
     """Compile-only pass (BENCH_COMPILE_ONLY=1): populate the persistent
     compile cache with the step executables at the target size WITHOUT
@@ -456,7 +494,7 @@ def _run_child():
         elif os.environ.get("BENCH_COMPILE_ONLY", "0") == "1":
             name, val, unit, extra = _bench_compile_warm()
         else:
-            name, val, unit, extra = _bench_dfg(steps)
+            name, val, unit, extra = _bench_dfg_with_rebuilds(steps)
         vs = val / 5.0 if unit.startswith("steps") else val / 100.0
         if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
             name += "_cpu"
