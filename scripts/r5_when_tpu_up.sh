@@ -110,7 +110,10 @@ run_leg() {  # marker max_legs timeout cmd...
   if [ "${legs:-0}" -ge "$max_legs" ]; then
     say "skip $marker (leg budget ${max_legs} exhausted)"; return 0
   fi
-  probe || bail "TPU unhealthy before $marker leg"
+  # no pre-leg probe: legs RIDE like the bench stages (fresh probes fail
+  # while queued ops are served — PERF.md round-5 flap mechanics); a
+  # checkpointed march uses whatever service the window provides, and a
+  # fully-dead window is caught by the post-leg probe below
   say "start $marker leg $((legs + 1)): $*"
   echo "${marker}_LEG $(date +%H:%M:%S)" >> "$LOG"
   out=$(timeout "$tmo" "$@" 2>/tmp/r5_acc_err.log)
@@ -210,8 +213,8 @@ TUNED_P2="$TUNED,\"pc_inner_u\":3"
 # 0.05 marches were Newton-insurance the ramping solver already
 # provides. p2dp RESUMES its t=2.5 checkpoint with 37 steps left
 # instead of 150 — worker-served minutes are the scarce resource.
-run_leg ACC_p2_dp   8 1500 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
-run_leg ACC_ring_cl 8 1500 python scripts/validate_dfg2d1.py 0.25 0.2 2e-6 10 "{\"tag\":\"ringcl\",\"res_min\":0.004,$TUNED}"
+run_leg ACC_p2_dp   16 1500 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
+run_leg ACC_ring_cl 16 1500 python scripts/validate_dfg2d1.py 0.25 0.2 2e-6 10 "{\"tag\":\"ringcl\",\"res_min\":0.004,$TUNED}"
 
 # 2c': reuse-step cost breakdown at the bench size — PROFILE106 left
 #      ~600 of 793 ms unaccounted; this A/Bs const-args vs closure-const
@@ -254,7 +257,7 @@ fi
 
 # -- stage 3b: P2 + fine ring (after the tuning arms: p2dp + ringcl
 #    adjudicate Δp and c_L separately first; this is the combined arm)
-run_leg ACC_p2_ring 8 1500 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
+run_leg ACC_p2_ring 16 1500 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
 
 # -- stage 5: remaining validation rows ---------------------------------
 if ! grep -q "GHIA_TPU_DONE" "$LOG" 2>/dev/null; then
