@@ -194,10 +194,17 @@ last950=$(grep -oE '"tag": "r5_950k_retry"|defer r5_950k' "$LOG" 2>/dev/null | t
 if [ "$last950" = '"tag": "r5_950k_retry"' ]; then
   say "defer r5_950k this pass (last attempt flapped; interleaving)"
 else
+#     PC_LAG=1: five attempts died ~60 s into measured step 2 — warmup
+#     (build + FRESH PC) always completes, then the first lag-8 reuse
+#     step at the impulsive start runs a stale-PC chord-Newton solve
+#     whose iteration count explodes inside ONE jit call (106k: lag-8
+#     tripled iterations even developed), and the worker kernel-faults
+#     under the multi-minute op. Rebuilding every step keeps each call
+#     bounded; the build executable is cached, its execution is seconds.
 run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_RIDE=1 \
-  BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=3 \
+  BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=2 \
   BENCH_STEP_FENCE=1 \
-  BENCH_PC_LAG_STEPS=8 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
+  BENCH_PC_LAG_STEPS=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
 fi
 
 # -- stage 4 (promoted): DFG 2D-2 rerun at res 0.35 (VERDICT item 7) ---
