@@ -95,6 +95,14 @@ def _dfg_scenario():
         kw["pc_amg_smooth"] = int(os.environ["BENCH_AMG_SMOOTH"])
     if os.environ.get("BENCH_KSP_RESTART"):
         kw["ksp_restart"] = int(os.environ["BENCH_KSP_RESTART"])
+    if os.environ.get("BENCH_SNES_MAX_IT"):
+        # pathology bound for huge meshes: a stalled solve otherwise
+        # runs the in-jit while_loops toward snes_max*ksp_max (100x1000)
+        # iterations in ONE device op — tens of minutes, which the
+        # flappy worker never survives (PERF.md round-5 flap mechanics)
+        kw["snes_max_it"] = int(os.environ["BENCH_SNES_MAX_IT"])
+    if os.environ.get("BENCH_KSP_MAX_IT"):
+        kw["ksp_max_it"] = int(os.environ["BENCH_KSP_MAX_IT"])
     if os.environ.get("BENCH_KSP_ORTHO_CHUNK"):
         kw["ksp_ortho_chunk"] = int(os.environ["BENCH_KSP_ORTHO_CHUNK"])
     elif res_scale >= 0.3:

@@ -203,7 +203,7 @@ else
 #     bounded; the build executable is cached, its execution is seconds.
 run_bench r5_950k BENCH_SKIP_SMALL=1 BENCH_RIDE=1 \
   BENCH_RES_SCALE=0.10 BENCH_WARMUP=1 BENCH_STEPS=2 \
-  BENCH_STEP_FENCE=1 \
+  BENCH_STEP_FENCE=1 BENCH_SNES_MAX_IT=8 BENCH_KSP_MAX_IT=150 \
   BENCH_PC_LAG_STEPS=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
 fi
 
