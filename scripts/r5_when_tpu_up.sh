@@ -259,6 +259,7 @@ if grep -q '"tag": "r5_950k"' "$LOG" 2>/dev/null; then
   export R5_NOPROBE_r5_950k_dev=1 R5_TMO_r5_950k_dev=5700
   run_bench r5_950k_dev BENCH_SKIP_SMALL=1 BENCH_RIDE=1 \
     BENCH_RES_SCALE=0.10 BENCH_WARMUP=4 BENCH_STEPS=2 \
+    BENCH_SNES_MAX_IT=8 BENCH_KSP_MAX_IT=150 \
     BENCH_STEP_FENCE=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
 fi
 
