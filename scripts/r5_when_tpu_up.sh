@@ -213,7 +213,7 @@ fi
 run_leg DFG2D2 12 1500 python scripts/validate_dfg2d2.py 0.35 12 0.0025
 
 # -- stage 3: DFG 2D-1 accuracy (VERDICT item 4, open since round 2) ---
-TUNED='"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
+TUNED='"checkpoint_every":10,"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
 TUNED_P2="$TUNED,\"pc_inner_u\":3"
 # dt 0.2 (the campaign default that landed c_D inside in round 1): the
 # steady state is the fixed point of the step map, dt-independent; the
