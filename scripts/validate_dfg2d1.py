@@ -47,22 +47,69 @@ def main():
     ckpt = os.path.join(outdir, "checkpoint.npz")
     if os.path.exists(ckpt):
         extra["resume_from"] = ckpt
-    sc = DFG1Benchmark(
-        solver_name, dt=dt, T=T, res_scale=res_scale,
-        dtype="auto", early_stop_tolerance=tol, **extra,
-    )
+    def build():
+        # re-check the checkpoint each attempt: the previous attempt's
+        # march advanced it
+        kw = dict(extra)
+        if os.path.exists(ckpt):
+            kw["resume_from"] = ckpt
+        return DFG1Benchmark(
+            solver_name, dt=dt, T=T, res_scale=res_scale,
+            dtype="auto", early_stop_tolerance=tol, **kw,
+        )
+
+    def wait_worker(budget_s=900):
+        # out-of-process probe: the in-process client just saw a crash
+        import subprocess
+        t0 = time.time()
+        while time.time() - t0 < budget_s:
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp; "
+                     "(jnp.ones((64,64))@jnp.ones((64,64))).sum().item()"],
+                    timeout=45, capture_output=True,
+                )
+                if r.returncode == 0:
+                    return True
+            except (subprocess.TimeoutExpired, OSError):
+                pass
+            time.sleep(20)
+        return False
+
     t0 = time.time()
     # The functionals below read only solver state (u_sol/p_sol), so a
     # late IO failure (e.g. the output dir vanishing mid-run) must not
     # lose the campaign numbers — march as far as possible, then report.
+    # Worker CRASHES (UNAVAILABLE: device state wiped) retry in-process:
+    # rebuild the scenario from the latest checkpoint once the worker
+    # serves again, so one campaign leg harvests every service window in
+    # its wall budget instead of one (PERF.md round-5 flap mechanics).
     out = f"{outdir} (solve raised)"
     complete = True
-    try:
-        out = sc.solve(outdir)
-    except Exception as e:  # noqa: BLE001
-        complete = False
-        print(f"[validate_dfg2d1] solve raised {type(e).__name__}: {e}; "
-              "reporting functionals from the last completed step")
+    retries = int(os.environ.get("DFG1_CRASH_RETRIES", "8"))
+    sc = build()
+    for attempt in range(retries + 1):
+        try:
+            out = sc.solve(outdir)
+            complete = True
+            break
+        except Exception as e:  # noqa: BLE001
+            complete = False
+            msg = f"{type(e).__name__}: {e}"
+            crashed = ("UNAVAILABLE" in msg
+                       or "crashed or restarted" in msg)
+            print(f"[validate_dfg2d1] solve raised {msg[:160]}; "
+                  + ("rebuilding from checkpoint "
+                     f"({attempt + 1}/{retries})"
+                     if crashed and attempt < retries
+                     else "reporting functionals from the last "
+                          "completed step"), flush=True)
+            if not crashed or attempt >= retries:
+                break
+            if not wait_worker():
+                break
+            sc = build()
     wall = time.time() - t0
 
     fdr, flr = sc.compute_drag_lift(method="reaction")
