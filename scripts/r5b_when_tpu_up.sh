@@ -87,17 +87,26 @@ while [ ! -f /tmp/tpu_up ]; do sleep 60; done
 say "TPU worker is up ($(cat /tmp/tpu_up)); starting round-5b queue"
 
 TUNED='"checkpoint_every":10,"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
-TUNED_P2="$TUNED,\"pc_inner_u\":3"
+# pc_lag_steps=1 on the P2 arms: legs 5-7 (03:09-03:35) crashed the
+# worker DETERMINISTICALLY at ramp step 9 — the same one-jit-call
+# stale-PC chord-Newton blow-up that kernel-faulted the 950k lag-8
+# arm; rebuilding the PC every step bounds each call (throughput is
+# irrelevant on a 50-step accuracy march)
+TUNED_P2="$TUNED,\"pc_inner_u\":3,\"pc_lag_steps\":1"
 
 # -- 1: dp close-out (P2 pressure order is the dp limiter) -------------
 run_leg ACC_p2_dp 16 1800 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
 
 # -- 2: 950k developed regime (first landing was impulsive-start) ------
+# PC_LAG=1 like the landed r5_950k arm: the 03:15 attempt with the
+# default lag-4 reuse executable died RESOURCE_EXHAUSTED — the reuse
+# step's live set (stale PC + fresh operator + Krylov buffers) does
+# not fit HBM at 949,929 DOF; the build-every-step executable does.
 export R5_NOPROBE_r5_950k_dev=1 R5_TMO_r5_950k_dev=5700
 export R5_RETRY_r5_950k_dev=8
 run_bench r5_950k_dev BENCH_SKIP_SMALL=1 BENCH_RIDE=1 \
   BENCH_RES_SCALE=0.10 BENCH_WARMUP=4 BENCH_STEPS=2 \
-  BENCH_SNES_MAX_IT=8 BENCH_KSP_MAX_IT=150 \
+  BENCH_SNES_MAX_IT=8 BENCH_KSP_MAX_IT=150 BENCH_PC_LAG_STEPS=1 \
   BENCH_STEP_FENCE=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
 
 # -- 3: P2 + fine ring combined accuracy arm ---------------------------
