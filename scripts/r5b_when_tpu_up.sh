@@ -87,15 +87,19 @@ while [ ! -f /tmp/tpu_up ]; do sleep 60; done
 say "TPU worker is up ($(cat /tmp/tpu_up)); starting round-5b queue"
 
 TUNED='"checkpoint_every":10,"solver":"stabilized_schur_ramping","pc_inner_method":"rasamg_sup","pc_inner_u":0,"pc_inner_p":5,"pc_ras_size":32'
-# pc_lag_steps=1 on the P2 arms: legs 5-7 (03:09-03:35) crashed the
-# worker DETERMINISTICALLY at ramp step 9 — the same one-jit-call
-# stale-PC chord-Newton blow-up that kernel-faulted the 950k lag-8
-# arm; rebuilding the PC every step bounds each call (throughput is
-# irrelevant on a 50-step accuracy march)
-TUNED_P2="$TUNED,\"pc_inner_u\":3,\"pc_lag_steps\":1"
+# P2 arms: legs 5-7 (03:09-03:35) crashed the worker DETERMINISTICALLY
+# at ramp step 9 of the dt=0.2 march (alpha 0.9: the highest-CFL solve;
+# pc_lag is already 1 by solver default, so this is NOT the stale-PC
+# mechanism — it is an unbounded diverging solve: snes_max_it 100 x
+# ksp_max_it 1000 is a ~1e5-iteration op chain the worker dies under).
+# Mitigation: dt 0.1 (halves the ramp-end CFL; the old dt=0.05 legs
+# marched past the ramp fine) + iteration caps that bound any one
+# solve to ~6k iterations. Steady state is the fixed point of the step
+# map — dt-independent.
+TUNED_P2="$TUNED,\"pc_inner_u\":3,\"snes_max_it\":20,\"ksp_max_it\":300"
 
 # -- 1: dp close-out (P2 pressure order is the dp limiter) -------------
-run_leg ACC_p2_dp 16 1800 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
+run_leg ACC_p2_dp 16 1800 python scripts/validate_dfg2d1.py 0.5 0.1 2e-6 10 "{\"tag\":\"p2dp\",\"p_grade\":2,$TUNED_P2}"
 
 # -- 2: 950k developed regime (first landing was impulsive-start) ------
 # PC_LAG=1 like the landed r5_950k arm: the 03:15 attempt with the
@@ -110,7 +114,7 @@ run_bench r5_950k_dev BENCH_SKIP_SMALL=1 BENCH_RIDE=1 \
   BENCH_STEP_FENCE=1 BENCH_STATS_EVERY=1 BENCH_TIMEOUT=5400
 
 # -- 3: P2 + fine ring combined accuracy arm ---------------------------
-run_leg ACC_p2_ring 16 1800 python scripts/validate_dfg2d1.py 0.5 0.2 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
+run_leg ACC_p2_ring 16 1800 python scripts/validate_dfg2d1.py 0.5 0.1 2e-6 10 "{\"tag\":\"p2ring\",\"p_grade\":2,\"res_min\":0.004,$TUNED_P2}"
 
 # -- 4: quick tuning arms ----------------------------------------------
 run_bench r5_106k_r20nc BENCH_STEPS=8 BENCH_SKIP_SMALL=1 \
