@@ -27,7 +27,10 @@ Env knobs:
     BENCH_STEPS      timed steps (default 4)
     BENCH_TIMEOUT    total wall budget for the parent (default 1500 s,
                      kept below the driver's kill timer)
-    BENCH_PROBE_BUDGET  TPU health probe budget (default 240 s)
+    BENCH_PROBE_BUDGET  TPU health probe budget (default 480 s: the
+                     worker's observed down-windows run 1-5+ min, and
+                     the probe also fails spuriously when another local
+                     process holds the relay tunnel)
     BENCH_PC_*       solver PC overrides (see _dfg_scenario)
     BENCH_WARMUP     un-timed steps before the window (default 6: the
                      measurement is the developed regime, not the
@@ -640,7 +643,7 @@ def main():
               file=sys.stderr, flush=True)
     else:
         healthy = _tpu_healthy(
-            float(os.environ.get("BENCH_PROBE_BUDGET", "240")))
+            float(os.environ.get("BENCH_PROBE_BUDGET", "480")))
         print(f"bench: tpu healthy={healthy} "
               f"(+{time.time() - t_start:.0f}s)", file=sys.stderr,
               flush=True)
